@@ -1,0 +1,56 @@
+"""cppnumericalsolvers_tpu — a TPU-native smooth numerical-optimization
+framework built from scratch in JAX/XLA (pjit + Pallas).
+
+Capability surface of PatWie/CppNumericalSolvers (see SURVEY.md), re-designed
+TPU-first: objectives are traced JAX functions, solver steps are pure
+``State -> State`` pytree functions fused under ``jit``, problem batches are
+vmapped and sharded over TPU meshes.
+"""
+
+from .core import (
+    CONVERGED_STATUSES,
+    DifferentiabilityMode,
+    FunctionState,
+    MinimizeResult,
+    Objective,
+    ProgressState,
+    SolverBase,
+    Status,
+    StoppingCriteria,
+    conservative_stopping,
+    constant,
+    default_stopping,
+    max_zero,
+    min_zero,
+    minimize,
+    minimize_batched,
+    objective,
+    status_message,
+)
+from . import linesearch, models, solvers
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CONVERGED_STATUSES",
+    "DifferentiabilityMode",
+    "FunctionState",
+    "MinimizeResult",
+    "Objective",
+    "ProgressState",
+    "SolverBase",
+    "Status",
+    "StoppingCriteria",
+    "conservative_stopping",
+    "constant",
+    "default_stopping",
+    "linesearch",
+    "max_zero",
+    "min_zero",
+    "minimize",
+    "minimize_batched",
+    "models",
+    "objective",
+    "solvers",
+    "status_message",
+]

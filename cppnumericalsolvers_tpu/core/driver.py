@@ -1,0 +1,198 @@
+"""Generic minimize driver: the reference's ``Solver::Minimize`` loop as a
+pure ``lax.while_loop``.
+
+Reference: include/cppoptlib/solver/solver.h:181-224.  The C++ do-while
+drives virtual ``OptimizationStep`` calls and a mutable ``Progress``; here the
+loop carry is a pytree ``(FunctionState, solver internals, ProgressState)``
+and each solver is a frozen config object exposing pure ``init``/``step``
+functions.  Because every step is ``State -> State``:
+
+* ``jax.vmap`` turns one solve into a batch solve (converged lanes are frozen
+  with a per-lane ``done`` mask — a vmapped while_loop applies the body to all
+  lanes until every predicate is false);
+* checkpoint/resume is free (the carry is a plain pytree the caller owns);
+* sharding the batch axis under ``jit`` scales the solve across a TPU mesh —
+  XLA inserts the ``any(status == CONTINUE)`` all-reduce for the loop
+  predicate automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .objective import FunctionState, Objective
+from .progress import (
+    ProgressState,
+    StoppingCriteria,
+    default_stopping,
+    init_progress,
+    update_progress,
+)
+from .status import Status
+from .tree import tree_where
+
+__all__ = ["SolverBase", "MinimizeResult", "minimize", "minimize_batched"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverBase:
+    """Base protocol for unconstrained solvers.
+
+    Subclasses are frozen dataclasses (hashable, jit-static) implementing
+    ``init`` and ``step``.  The optional hooks mirror the reference's solver
+    customisation points:
+
+    * ``transform_stopping`` — lets a solver adjust the criteria the driver's
+      generic convergence test sees (L-BFGS-B zeroes the full-gradient test,
+      lbfgsb.h:258-260).
+    * ``post_update`` — runs after the generic progress update with the
+      *caller's* criteria, so a solver can impose its own convergence signal
+      (L-BFGS-B's projected-gradient test, lbfgsb.h:280-283).
+    * ``default_stopping`` — per-solver preset override (NelderMead uses the
+      conservative preset with 5 x-delta strikes, nelder_mead.h:87-91;
+      L-BFGS-B enables the factr-style f_delta test, lbfgsb.h:84-87).
+    """
+
+    #: Required objective differentiability: 'none' | 'first' | 'second'.
+    mode: str = dataclasses.field(default="first", init=False, repr=False)
+
+    def init(self, objective: Objective, state: FunctionState) -> Any:
+        raise NotImplementedError
+
+    def step(
+        self,
+        objective: Objective,
+        state: FunctionState,
+        internals: Any,
+        stopping: StoppingCriteria,
+    ) -> tuple[FunctionState, Any]:
+        raise NotImplementedError
+
+    def transform_stopping(self, stopping: StoppingCriteria) -> StoppingCriteria:
+        return stopping
+
+    def post_update(
+        self,
+        objective: Objective,
+        state: FunctionState,
+        internals: Any,
+        progress: ProgressState,
+        stopping: StoppingCriteria,
+    ) -> ProgressState:
+        del objective, state, internals, stopping
+        return progress
+
+    def default_stopping(self, dtype) -> StoppingCriteria:
+        return default_stopping(dtype)
+
+    def check_mode(self, objective: Objective) -> None:
+        order = {"none": 0, "first": 1, "second": 2}
+        if order[objective.mode] < order[self.mode]:
+            raise ValueError(
+                f"{type(self).__name__} requires a {self.mode!r}-mode "
+                f"objective, got {objective.mode!r}."
+            )
+
+
+class MinimizeResult(NamedTuple):
+    state: FunctionState  # final iterate with populated (value, gradient)
+    progress: ProgressState  # convergence record (per-instance when batched)
+    internals: Any  # final solver internals (resume-friendly)
+
+
+def _solve_loop(
+    objective: Objective,
+    solver: SolverBase,
+    state0: FunctionState,
+    internals0: Any,
+    stopping: StoppingCriteria,
+) -> MinimizeResult:
+    stopping_inner = solver.transform_stopping(stopping)
+
+    def cond(carry):
+        _, _, progress = carry
+        return progress.status == int(Status.CONTINUE)
+
+    def body(carry):
+        state, internals, progress = carry
+        new_state, new_internals = solver.step(
+            objective, state, internals, stopping_inner
+        )
+        new_progress = update_progress(
+            progress, state, new_state, stopping_inner, mode=objective.mode
+        )
+        new_progress = solver.post_update(
+            objective, new_state, new_internals, new_progress, stopping
+        )
+        new_carry = (new_state, new_internals, new_progress)
+        # Freeze converged lanes (no-op for an unbatched solve, where the
+        # loop predicate guarantees status == CONTINUE here).
+        done = progress.status != int(Status.CONTINUE)
+        return tree_where(done, carry, new_carry)
+
+    progress0 = init_progress(state0.value.dtype)
+    state, internals, progress = lax.while_loop(
+        cond, body, (state0, internals0, progress0)
+    )
+    return MinimizeResult(state=state, progress=progress, internals=internals)
+
+
+@functools.partial(jax.jit, static_argnames=("objective", "solver"))
+def _solve_one_jit(objective, x0, solver, stopping):
+    state0 = objective.evaluate(x0, nfev=0)
+    internals0 = solver.init(objective, state0)
+    return _solve_loop(objective, solver, state0, internals0, stopping)
+
+
+@functools.partial(jax.jit, static_argnames=("objective", "solver"))
+def _solve_batched_jit(objective, x0_batch, solver, stopping):
+    return jax.vmap(
+        lambda x0: _solve_one_jit(objective, x0, solver, stopping)
+    )(x0_batch)
+
+
+def minimize(
+    objective: Objective,
+    x0: jax.Array,
+    solver: SolverBase,
+    stopping: StoppingCriteria | None = None,
+) -> MinimizeResult:
+    """Minimize ``objective`` from ``x0`` with ``solver``.
+
+    Establishes the populated-(value, gradient) invariant with one evaluation
+    at the start (solver.h:190-192), then runs the while_loop driver.  The
+    whole solve is jitted with (objective, solver) as static keys, so repeat
+    solves of the same problem family hit the compile cache.
+    """
+    solver.check_mode(objective)
+    x0 = jnp.asarray(x0)
+    if stopping is None:
+        stopping = solver.default_stopping(x0.dtype)
+    return _solve_one_jit(objective, x0, solver, stopping)
+
+
+def minimize_batched(
+    objective: Objective,
+    x0_batch: jax.Array,
+    solver: SolverBase,
+    stopping: StoppingCriteria | None = None,
+) -> MinimizeResult:
+    """Solve a batch of instances of the same objective, vmapped.
+
+    ``x0_batch`` has shape (B, n); every field of the result gains a leading
+    batch axis (per-instance status, nfev, iterations — the metrics the
+    pod-level benchmark aggregates).  Each lane runs the exact single-problem
+    algorithm; finished lanes are frozen so per-instance nfev and stopping
+    semantics match the sequential reference.
+    """
+    solver.check_mode(objective)
+    x0_batch = jnp.asarray(x0_batch)
+    if stopping is None:
+        stopping = solver.default_stopping(x0_batch.dtype)
+    return _solve_batched_jit(objective, x0_batch, solver, stopping)

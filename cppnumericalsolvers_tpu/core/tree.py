@@ -1,0 +1,21 @@
+"""Small pytree utilities used across the framework."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["tree_where"]
+
+
+def tree_where(pred, if_true, if_false):
+    """Leafwise ``where(pred, a, b)`` with a scalar predicate.
+
+    The workhorse of batched solving: a vmapped ``lax.while_loop`` applies its
+    body to every lane while *any* lane is active, so converged lanes must be
+    frozen explicitly — this is how the reference's data-dependent per-problem
+    exits map onto SPMD batches (SURVEY.md §7 hard part 1).
+    """
+    return jax.tree.map(
+        lambda a, b: jnp.where(pred, a, b), if_true, if_false
+    )

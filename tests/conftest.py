@@ -1,0 +1,25 @@
+"""Test configuration: CPU backend with a virtual 8-device mesh and float64.
+
+Mirrors the reference's test numerics (double precision, src/test/verify.cc)
+while exercising the multi-device sharding paths without TPU hardware — the
+standard ``xla_force_host_platform_device_count`` trick (SURVEY.md §4).
+"""
+
+import os
+
+# Must be set before jax initializes its backends.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the solver while_loops are expensive to
+# compile on the CPU backend; caching them makes repeated test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/cppns_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
