@@ -8,6 +8,12 @@ vmapped and sharded over TPU meshes.
 """
 
 from .core import (
+    ConstrainedProblem,
+    MultiplierState,
+    augmented_lagrangian_value,
+    lagrangian_gradient,
+    to_augmented_lagrangian,
+    to_penalty,
     CONVERGED_STATUSES,
     DifferentiabilityMode,
     FunctionState,
@@ -20,6 +26,7 @@ from .core import (
     conservative_stopping,
     constant,
     default_stopping,
+    init_progress,
     max_zero,
     min_zero,
     minimize,
@@ -32,6 +39,12 @@ from . import linesearch, models, solvers
 __version__ = "0.1.0"
 
 __all__ = [
+    "ConstrainedProblem",
+    "MultiplierState",
+    "augmented_lagrangian_value",
+    "lagrangian_gradient",
+    "to_augmented_lagrangian",
+    "to_penalty",
     "CONVERGED_STATUSES",
     "DifferentiabilityMode",
     "FunctionState",
@@ -44,6 +57,7 @@ __all__ = [
     "conservative_stopping",
     "constant",
     "default_stopping",
+    "init_progress",
     "linesearch",
     "max_zero",
     "min_zero",

@@ -114,6 +114,10 @@ def _solve_loop(
     stopping: StoppingCriteria,
 ) -> MinimizeResult:
     stopping_inner = solver.transform_stopping(stopping)
+    # Solvers may force derivative-free progress semantics (NelderMead: the
+    # reference instantiates Progress over a value-only state, so no
+    # gradient-norm test applies).
+    progress_mode = getattr(solver, "progress_mode", None) or objective.mode
 
     def cond(carry):
         _, _, progress = carry
@@ -125,7 +129,7 @@ def _solve_loop(
             objective, state, internals, stopping_inner
         )
         new_progress = update_progress(
-            progress, state, new_state, stopping_inner, mode=objective.mode
+            progress, state, new_state, stopping_inner, mode=progress_mode
         )
         new_progress = solver.post_update(
             objective, new_state, new_internals, new_progress, stopping
