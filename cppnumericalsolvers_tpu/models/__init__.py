@@ -1,3 +1,4 @@
+from .suite import SuiteProblem, mgh_suite, suite_with_multistarts
 from .unconstrained import (
     beale,
     booth,
@@ -13,6 +14,9 @@ from .unconstrained import (
 )
 
 __all__ = [
+    "SuiteProblem",
+    "mgh_suite",
+    "suite_with_multistarts",
     "beale",
     "booth",
     "extended_rosenbrock",
