@@ -33,86 +33,23 @@ from ..core.driver import SolverBase
 from ..core.objective import FunctionState, Objective
 from ..core.progress import StoppingCriteria
 from ..linesearch.more_thuente import more_thuente
+from ..ops.two_loop import two_loop_direction, two_loop_direction_xla
 
 __all__ = ["Lbfgs", "LbfgsInternals", "two_loop_direction"]
 
 
 class LbfgsInternals(NamedTuple):
-    s_memory: jax.Array  # (m, n) x-diff ring buffer
-    y_memory: jax.Array  # (m, n) grad-diff ring buffer
+    """Correction history in CHRONOLOGICAL layout: row 0 is the oldest valid
+    correction, row ``mem_count - 1`` the newest.  The reference keeps a
+    circular buffer with a rotating start pointer (lbfgs.h:157-162); under a
+    vmapped batch the per-lane pointers diverge and every access becomes a
+    gather, so we pay a contiguous roll on append instead — see
+    ops/two_loop.py for the rationale."""
+
+    s_memory: jax.Array  # (m, n) x-diff history, oldest first
+    y_memory: jax.Array  # (m, n) grad-diff history, oldest first
     mem_count: jax.Array  # int32 number of stored corrections (<= m)
-    mem_pos: jax.Array  # int32 index of the oldest correction when full
     gamma: jax.Array  # scalar H0 scaling factor (N&W 7.20)
-
-
-def two_loop_direction(
-    gradient: jax.Array,
-    s_memory: jax.Array,
-    y_memory: jax.Array,
-    mem_count: jax.Array,
-    mem_pos: jax.Array,
-    gamma,
-    precond_diagonal: jax.Array | None = None,
-) -> jax.Array:
-    """Two-loop recursion producing ``H^{-1} g`` (lbfgs.h:141-196).
-
-    Fixed trip count ``m`` with masking on ``i < mem_count`` so the function
-    jits/vmaps with static shapes; pairs whose ``s.y`` denominator is below
-    machine epsilon are skipped exactly as in the reference (lbfgs.h:165-167).
-    """
-    m = s_memory.shape[0]
-    dtype = gradient.dtype
-    eps = jnp.finfo(dtype).eps
-
-    def slot(i):
-        # Chronological order i=0 (oldest) .. count-1 (newest): contiguous
-        # until the buffer fills, then cyclic from mem_pos (lbfgs.h:157-162).
-        return jnp.where(mem_count < m, i, (mem_pos + i) % m)
-
-    q0 = gradient
-    alphas0 = jnp.zeros((m,), dtype)
-
-    def backward(j, carry):
-        q, alphas = carry
-        i = mem_count - 1 - j
-        active = i >= 0
-        idx = slot(jnp.maximum(i, 0))
-        s_i = s_memory[idx]
-        y_i = y_memory[idx]
-        denom = jnp.vdot(s_i, y_i)
-        usable = jnp.logical_and(active, jnp.abs(denom) >= eps)
-        rho = jnp.where(usable, 1.0 / denom, 0.0)
-        alpha_i = rho * jnp.vdot(s_i, q)
-        q = jnp.where(usable, q - alpha_i * y_i, q)
-        alphas = alphas.at[jnp.maximum(i, 0)].set(
-            jnp.where(usable, alpha_i, alphas[jnp.maximum(i, 0)])
-        )
-        return q, alphas
-
-    q, alphas = lax.fori_loop(0, m, backward, (q0, alphas0))
-
-    # Center: Morales-Nocedal diagonal preconditioner when second-order
-    # information is available, else the scalar gamma H0 (lbfgs.h:174-182).
-    if precond_diagonal is not None:
-        q = precond_diagonal * q
-    else:
-        q = q * gamma
-
-    def forward(i, q):
-        active = i < mem_count
-        i_safe = jnp.where(active, i, 0)
-        idx = slot(i_safe)
-        s_i = s_memory[idx]
-        y_i = y_memory[idx]
-        denom = jnp.vdot(s_i, y_i)
-        usable = jnp.logical_and(active, jnp.abs(denom) >= eps)
-        rho = jnp.where(usable, 1.0 / denom, 0.0)
-        beta = rho * jnp.vdot(y_i, q)
-        # alphas is indexed chronologically (C++ `alpha(i)`, lbfgs.h:195).
-        return jnp.where(usable, q + s_i * (alphas[i_safe] - beta), q)
-
-    q = lax.fori_loop(0, m, forward, q)
-    return q
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,7 +69,6 @@ class Lbfgs(SolverBase):
             s_memory=jnp.zeros((self.m, n), dtype),
             y_memory=jnp.zeros((self.m, n), dtype),
             mem_count=jnp.zeros((), jnp.int32),
-            mem_pos=jnp.zeros((), jnp.int32),
             gamma=jnp.ones((), dtype),
         )
 
@@ -162,15 +98,25 @@ class Lbfgs(SolverBase):
             precond = 1.0 / (jnp.abs(hess_diag) + eps)
             nfev = nfev + 1
 
-        direction = two_loop_direction(
-            gradient,
-            internals.s_memory,
-            internals.y_memory,
-            internals.mem_count,
-            internals.mem_pos,
-            internals.gamma,
-            precond,
-        )
+        if precond is not None:
+            direction = two_loop_direction_xla(
+                gradient,
+                internals.s_memory,
+                internals.y_memory,
+                internals.mem_count,
+                internals.gamma,
+                precond,
+            )
+        else:
+            # custom_vmap op: the batched solve path lowers this to the
+            # fused Pallas kernel on TPU (ops/two_loop.py).
+            direction = two_loop_direction(
+                gradient,
+                internals.s_memory,
+                internals.y_memory,
+                internals.mem_count,
+                internals.gamma,
+            )
 
         descent = -jnp.vdot(gradient, direction)
         direction_norm = jnp.linalg.norm(direction)
@@ -196,7 +142,6 @@ class Lbfgs(SolverBase):
             alpha_init,
         )
         mem_count = jnp.where(invalid, 0, internals.mem_count)
-        mem_pos = jnp.where(invalid, 0, internals.mem_pos)
 
         # Strong-Wolfe line search along -direction (lbfgs.h:226-232).
         ls = more_thuente(
@@ -222,30 +167,23 @@ class Lbfgs(SolverBase):
         s = next_state.x - state.x
         y = next_state.gradient - gradient
 
-        # Curvature-gated ring-buffer push (lbfgs.h:253-280).
+        # Curvature-gated chronological append (lbfgs.h:253-280): when the
+        # buffer is full the oldest row is shifted out (contiguous roll —
+        # cheap VPU copy, keeps slot order uniform across vmapped lanes).
         sy = jnp.vdot(s, y)
         sy_threshold = eps * jnp.linalg.norm(s) * jnp.linalg.norm(y)
         accept = jnp.logical_and(finite, sy > sy_threshold)
-        write_slot = jnp.where(mem_count < self.m, mem_count, mem_pos)
-        s_memory = jnp.where(
-            accept,
-            internals.s_memory.at[write_slot].set(s),
-            internals.s_memory,
-        )
-        y_memory = jnp.where(
-            accept,
-            internals.y_memory.at[write_slot].set(y),
-            internals.y_memory,
-        )
+        full = mem_count >= self.m
+        write_slot = jnp.minimum(mem_count, self.m - 1)
+
+        def push(buf, row):
+            shifted = jnp.where(full, jnp.roll(buf, -1, axis=0), buf)
+            return jnp.where(accept, shifted.at[write_slot].set(row), buf)
+
+        s_memory = push(internals.s_memory, s)
+        y_memory = push(internals.y_memory, y)
         new_count = jnp.where(
-            jnp.logical_and(accept, mem_count < self.m),
-            mem_count + 1,
-            mem_count,
-        )
-        new_pos = jnp.where(
-            jnp.logical_and(accept, mem_count >= self.m),
-            (mem_pos + 1) % self.m,
-            mem_pos,
+            jnp.logical_and(accept, ~full), mem_count + 1, mem_count
         )
 
         # Gamma update with finite/magnitude guards (lbfgs.h:281-298).
@@ -267,6 +205,5 @@ class Lbfgs(SolverBase):
             s_memory=s_memory,
             y_memory=y_memory,
             mem_count=new_count,
-            mem_pos=new_pos,
             gamma=gamma,
         )
