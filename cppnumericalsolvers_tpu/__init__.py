@@ -16,6 +16,8 @@ from .core import (
     to_penalty,
     CONVERGED_STATUSES,
     DifferentiabilityMode,
+    IterationTrace,
+    print_progress,
     FunctionState,
     MinimizeResult,
     Objective,
@@ -34,7 +36,7 @@ from .core import (
     objective,
     status_message,
 )
-from . import linesearch, models, solvers
+from . import linesearch, models, ops, parallel, solvers
 
 __version__ = "0.1.0"
 
@@ -48,6 +50,7 @@ __all__ = [
     "CONVERGED_STATUSES",
     "DifferentiabilityMode",
     "FunctionState",
+    "IterationTrace",
     "MinimizeResult",
     "Objective",
     "ProgressState",
@@ -65,6 +68,9 @@ __all__ = [
     "minimize_batched",
     "models",
     "objective",
+    "ops",
+    "parallel",
+    "print_progress",
     "solvers",
     "status_message",
 ]

@@ -1,3 +1,4 @@
+from .callbacks import IterationTrace, init_trace, print_progress, record_trace
 from .driver import MinimizeResult, SolverBase, minimize, minimize_batched
 from .penalty import (
     MultiplierState,
@@ -52,6 +53,8 @@ __all__ = [
     "PAST_RING_SIZE",
     "ProgressState",
     "SolverBase",
+    "IterationTrace",
+    "print_progress",
     "Status",
     "StoppingCriteria",
     "conservative_stopping",

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .callbacks import IterationTrace, init_trace, record_trace
 from .objective import FunctionState, Objective
 from .progress import (
     ProgressState,
@@ -104,6 +105,7 @@ class MinimizeResult(NamedTuple):
     state: FunctionState  # final iterate with populated (value, gradient)
     progress: ProgressState  # convergence record (per-instance when batched)
     internals: Any  # final solver internals (resume-friendly)
+    trace: IterationTrace | None = None  # per-iteration record (trace > 0)
 
 
 def _solve_loop(
@@ -112,6 +114,8 @@ def _solve_loop(
     state0: FunctionState,
     internals0: Any,
     stopping: StoppingCriteria,
+    trace: int = 0,
+    callback=None,
 ) -> MinimizeResult:
     stopping_inner = solver.transform_stopping(stopping)
     # Solvers may force derivative-free progress semantics (NelderMead: the
@@ -120,11 +124,11 @@ def _solve_loop(
     progress_mode = getattr(solver, "progress_mode", None) or objective.mode
 
     def cond(carry):
-        _, _, progress = carry
+        _, _, progress, _ = carry
         return progress.status == int(Status.CONTINUE)
 
     def body(carry):
-        state, internals, progress = carry
+        state, internals, progress, trace_buf = carry
         new_state, new_internals = solver.step(
             objective, state, internals, stopping_inner
         )
@@ -134,30 +138,55 @@ def _solve_loop(
         new_progress = solver.post_update(
             objective, new_state, new_internals, new_progress, stopping
         )
-        new_carry = (new_state, new_internals, new_progress)
+        if trace_buf is not None:
+            trace_buf = record_trace(trace_buf, new_progress, new_state)
+        if callback is not None:
+            # Live observability (PrintProgressCallback analog,
+            # solver.h:59-147): one host transfer per iteration.
+            jax.debug.callback(
+                callback,
+                {
+                    "num_iterations": new_progress.num_iterations,
+                    "value": new_state.value,
+                    "gradient_norm": jnp.max(jnp.abs(new_state.gradient)),
+                    "x_delta": new_progress.x_delta,
+                    "f_delta": new_progress.f_delta,
+                    "status": new_progress.status,
+                },
+            )
+        new_carry = (new_state, new_internals, new_progress, trace_buf)
         # Freeze converged lanes (no-op for an unbatched solve, where the
         # loop predicate guarantees status == CONTINUE here).
         done = progress.status != int(Status.CONTINUE)
         return tree_where(done, carry, new_carry)
 
     progress0 = init_progress(state0.value.dtype)
-    state, internals, progress = lax.while_loop(
-        cond, body, (state0, internals0, progress0)
+    trace0 = init_trace(trace, state0.value.dtype) if trace > 0 else None
+    state, internals, progress, trace_out = lax.while_loop(
+        cond, body, (state0, internals0, progress0, trace0)
     )
-    return MinimizeResult(state=state, progress=progress, internals=internals)
+    return MinimizeResult(
+        state=state, progress=progress, internals=internals, trace=trace_out
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("objective", "solver"))
-def _solve_one_jit(objective, x0, solver, stopping):
+@functools.partial(
+    jax.jit, static_argnames=("objective", "solver", "trace", "callback")
+)
+def _solve_one_jit(objective, x0, solver, stopping, trace=0, callback=None):
     state0 = objective.evaluate(x0, nfev=0)
     internals0 = solver.init(objective, state0)
-    return _solve_loop(objective, solver, state0, internals0, stopping)
+    return _solve_loop(
+        objective, solver, state0, internals0, stopping, trace, callback
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("objective", "solver"))
-def _solve_batched_jit(objective, x0_batch, solver, stopping):
+@functools.partial(
+    jax.jit, static_argnames=("objective", "solver", "trace")
+)
+def _solve_batched_jit(objective, x0_batch, solver, stopping, trace=0):
     return jax.vmap(
-        lambda x0: _solve_one_jit(objective, x0, solver, stopping)
+        lambda x0: _solve_one_jit(objective, x0, solver, stopping, trace)
     )(x0_batch)
 
 
@@ -166,6 +195,9 @@ def minimize(
     x0: jax.Array,
     solver: SolverBase,
     stopping: StoppingCriteria | None = None,
+    *,
+    trace: int = 0,
+    callback=None,
 ) -> MinimizeResult:
     """Minimize ``objective`` from ``x0`` with ``solver``.
 
@@ -178,7 +210,7 @@ def minimize(
     x0 = jnp.asarray(x0)
     if stopping is None:
         stopping = solver.default_stopping(x0.dtype)
-    return _solve_one_jit(objective, x0, solver, stopping)
+    return _solve_one_jit(objective, x0, solver, stopping, trace, callback)
 
 
 def minimize_batched(
@@ -186,6 +218,8 @@ def minimize_batched(
     x0_batch: jax.Array,
     solver: SolverBase,
     stopping: StoppingCriteria | None = None,
+    *,
+    trace: int = 0,
 ) -> MinimizeResult:
     """Solve a batch of instances of the same objective, vmapped.
 
@@ -199,4 +233,4 @@ def minimize_batched(
     x0_batch = jnp.asarray(x0_batch)
     if stopping is None:
         stopping = solver.default_stopping(x0_batch.dtype)
-    return _solve_batched_jit(objective, x0_batch, solver, stopping)
+    return _solve_batched_jit(objective, x0_batch, solver, stopping, trace)

@@ -75,8 +75,10 @@ class StoppingCriteria(NamedTuple):
     # -- convenience ---------------------------------------------------------
 
     def replace(self, **kwargs) -> "StoppingCriteria":
+        # Inherit the record's float dtype so f32 configs stay f32.
+        dtype = self.x_delta.dtype
         return self._replace(
-            **{k: _cast_field(k, v) for k, v in kwargs.items()}
+            **{k: _cast_field(k, v, dtype) for k, v in kwargs.items()}
         )
 
 
