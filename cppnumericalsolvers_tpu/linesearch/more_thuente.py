@@ -67,6 +67,14 @@ def cstep(
     input-error early return (caller treats it as a line-search abort).
     """
     dtype = jnp.result_type(stx, fp)
+    # Canonicalize to jnp arrays: with plain-Python floats the case flags
+    # below would be Python bools, whose bitwise `~` is integer NOT
+    # (~True == -2, still truthy) — silently corrupting the case selection
+    # for direct scalar calls (the in-loop traced path never hits this).
+    stx, fx, dx, sty, fy, dy, stp, fp, dp = (
+        jnp.asarray(v, dtype) for v in (stx, fx, dx, sty, fy, dy, stp, fp, dp)
+    )
+    brackt = jnp.asarray(brackt, jnp.bool_)
     one = jnp.ones((), dtype)
 
     # Input-error check (more_thuente.h:271-275): step outside the bracket,

@@ -167,6 +167,17 @@ class Lbfgs(SolverBase):
         s = next_state.x - state.x
         y = next_state.gradient - gradient
 
+        # Stall recovery: a line search that could not move x at all (it
+        # returned the start point after exhausting maxfev) would repeat the
+        # identical failing direction next iteration.  Clearing the history
+        # makes the next step steepest descent with a fresh step length — a
+        # free retry (no extra evaluations this step).  With the default
+        # single-strike x_delta stop the solve still terminates exactly like
+        # the reference (lbfgs.h:214-224 resets history on invalid descent
+        # for the same reason); with x_delta_violations >= 2 the retry runs.
+        stalled = jnp.max(jnp.abs(s)) <= 0.0
+        mem_count = jnp.where(stalled, 0, mem_count)
+
         # Curvature-gated chronological append (lbfgs.h:253-280): when the
         # buffer is full the oldest row is shifted out (contiguous roll —
         # cheap VPU copy, keeps slot order uniform across vmapped lanes).
