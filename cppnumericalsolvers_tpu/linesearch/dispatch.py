@@ -1,0 +1,70 @@
+"""Uniform line-search dispatch — the pluggable-search parity point.
+
+The reference passes the line search as a template parameter
+``template<class, int> class LineSearch`` (e.g. lbfgs.h:40-41,
+gradient_descent.h:37-38); here solvers carry a jit-static ``line_search``
+string field resolved through :func:`run_line_search`, which presents every
+search behind one State -> State contract: consume the populated start
+``(x0, f0, g0)``, return the accepted step's ``(x, f, g)`` with nfev
+accounting.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .armijo import armijo
+from .hager_zhang import hager_zhang
+from .more_thuente import more_thuente
+
+__all__ = ["LineSearchResult", "run_line_search", "LINE_SEARCHES"]
+
+LINE_SEARCHES = ("more_thuente", "hager_zhang", "armijo")
+
+
+class LineSearchResult(NamedTuple):
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    alpha: jax.Array
+    nfev: jax.Array  # int32 evaluations consumed
+
+
+def run_line_search(
+    method: str,
+    value_and_grad: Callable,
+    x0: jax.Array,
+    f0: jax.Array,
+    g0: jax.Array,
+    direction: jax.Array,
+    alpha_init,
+    max_fev: int = 20,
+) -> LineSearchResult:
+    """Run the named search along ``direction`` from a populated start."""
+    if method == "more_thuente":
+        r = more_thuente(
+            value_and_grad, x0, f0, g0, direction, alpha_init, max_fev=max_fev
+        )
+        return LineSearchResult(x=r.x, f=r.f, g=r.g, alpha=r.alpha, nfev=r.nfev)
+    if method == "hager_zhang":
+        r = hager_zhang(value_and_grad, x0, f0, g0, direction, alpha_init)
+        return LineSearchResult(x=r.x, f=r.f, g=r.g, alpha=r.alpha, nfev=r.nfev)
+    if method == "armijo":
+        # Value-only backtracking; one fused value-and-grad evaluation at the
+        # accepted point re-establishes the populated-state invariant (the
+        # reference's Armijo solvers rebuild the state the same way,
+        # solver.h:210-216).
+        r = armijo(
+            lambda x: value_and_grad(x)[0], x0, f0, g0, direction, alpha_init
+        )
+        x = x0 + r.alpha * direction
+        f, g = value_and_grad(x)
+        return LineSearchResult(
+            x=x, f=f, g=g, alpha=r.alpha, nfev=r.nfev + 1
+        )
+    raise ValueError(
+        f"unknown line search {method!r}; expected one of {LINE_SEARCHES}"
+    )

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..core.driver import SolverBase
 from ..core.objective import FunctionState, Objective
 from ..core.progress import StoppingCriteria
-from ..linesearch.more_thuente import more_thuente
+from ..linesearch.dispatch import run_line_search
 
 __all__ = ["Bfgs"]
 
@@ -36,6 +36,8 @@ class BfgsInternals(NamedTuple):
 @dataclasses.dataclass(frozen=True)
 class Bfgs(SolverBase):
     max_linesearch_fev: int = 20
+    #: Pluggable search (bfgs.h:39-40): more_thuente | hager_zhang | armijo.
+    line_search: str = "more_thuente"
 
     def init(self, objective: Objective, state: FunctionState) -> BfgsInternals:
         n = state.x.shape[-1]
@@ -73,7 +75,8 @@ class Bfgs(SolverBase):
             jnp.ones((), dtype),
         )
 
-        ls = more_thuente(
+        ls = run_line_search(
+            self.line_search,
             objective.value_and_grad,
             state.x,
             state.value,

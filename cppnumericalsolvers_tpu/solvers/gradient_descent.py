@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from ..core.driver import SolverBase
 from ..core.objective import FunctionState, Objective
 from ..core.progress import StoppingCriteria
-from ..linesearch.more_thuente import more_thuente
+from ..linesearch.dispatch import run_line_search
 
 __all__ = ["GradientDescent"]
 
@@ -22,6 +22,9 @@ __all__ = ["GradientDescent"]
 @dataclasses.dataclass(frozen=True)
 class GradientDescent(SolverBase):
     max_linesearch_fev: int = 20
+    #: Pluggable search (the reference's LineSearch template parameter,
+    #: gradient_descent.h:37-38): more_thuente | hager_zhang | armijo.
+    line_search: str = "more_thuente"
 
     def init(self, objective: Objective, state: FunctionState):
         return ()
@@ -34,7 +37,8 @@ class GradientDescent(SolverBase):
         stopping: StoppingCriteria,
     ):
         del stopping
-        ls = more_thuente(
+        ls = run_line_search(
+            self.line_search,
             objective.value_and_grad,
             state.x,
             state.value,

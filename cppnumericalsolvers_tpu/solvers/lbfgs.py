@@ -32,7 +32,7 @@ from jax import lax
 from ..core.driver import SolverBase
 from ..core.objective import FunctionState, Objective
 from ..core.progress import StoppingCriteria
-from ..linesearch.more_thuente import more_thuente
+from ..linesearch.dispatch import run_line_search
 from ..ops.two_loop import two_loop_direction, two_loop_direction_xla
 
 __all__ = ["Lbfgs", "LbfgsInternals", "two_loop_direction"]
@@ -61,6 +61,8 @@ class Lbfgs(SolverBase):
     #: objective); lbfgs.h:97-139.
     use_hessian_preconditioner: bool = False
     max_linesearch_fev: int = 20
+    #: Pluggable search (lbfgs.h:40-41): more_thuente | hager_zhang | armijo.
+    line_search: str = "more_thuente"
 
     def init(self, objective: Objective, state: FunctionState) -> LbfgsInternals:
         n = state.x.shape[-1]
@@ -144,7 +146,8 @@ class Lbfgs(SolverBase):
         mem_count = jnp.where(invalid, 0, internals.mem_count)
 
         # Strong-Wolfe line search along -direction (lbfgs.h:226-232).
-        ls = more_thuente(
+        ls = run_line_search(
+            self.line_search,
             objective.value_and_grad,
             state.x,
             state.value,

@@ -1,0 +1,37 @@
+"""Pluggable line searches: every solver/search combination must converge.
+
+Parity point: the reference's ``LineSearch`` template parameter
+(lbfgs.h:40-41, bfgs.h:39-40, gradient_descent.h:37-38)."""
+
+import jax.numpy as jnp
+import pytest
+
+from cppnumericalsolvers_tpu import conservative_stopping, minimize
+from cppnumericalsolvers_tpu.models import rosenbrock
+from cppnumericalsolvers_tpu.solvers import Bfgs, GradientDescent, Lbfgs
+
+
+@pytest.mark.parametrize("search", ["more_thuente", "hager_zhang", "armijo"])
+@pytest.mark.parametrize(
+    "solver_cls", [Lbfgs, Bfgs, GradientDescent], ids=["lbfgs", "bfgs", "gd"]
+)
+def test_solver_with_search_converges(solver_cls, search):
+    solver = solver_cls(line_search=search)
+    # GradientDescent zigzags on Rosenbrock; the reference's own test matrix
+    # gives it the conservative preset (verify.cc:138-155).
+    stopping = (
+        conservative_stopping(jnp.float64)
+        if solver_cls is GradientDescent
+        else None
+    )
+    result = minimize(rosenbrock(), jnp.array([-1.2, 1.0]), solver, stopping)
+    assert float(result.state.value) < 1e-4, (
+        solver_cls.__name__,
+        search,
+        float(result.state.value),
+    )
+
+
+def test_unknown_search_raises():
+    with pytest.raises(ValueError, match="unknown line search"):
+        minimize(rosenbrock(), jnp.array([-1.2, 1.0]), Lbfgs(line_search="nope"))
