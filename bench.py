@@ -82,7 +82,24 @@ def run_reliability():
     total = 0
     nfev_sum = 0.0
     t0 = time.perf_counter()
-    for problem, starts in _multistart_batches():
+    batches = _multistart_batches()
+
+    # Pre-compile all per-problem programs concurrently: 33 distinct
+    # (objective, n, B) programs dominate wall time when compiled lazily in
+    # sequence; the compile service parallelizes across threads.
+    from concurrent.futures import ThreadPoolExecutor
+    from cppnumericalsolvers_tpu.core.driver import _solve_batched_jit
+
+    def _warm(args):
+        problem, starts = args
+        _solve_batched_jit.lower(
+            problem.objective, jnp.asarray(starts), solver, stopping
+        ).compile()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(_warm, batches))
+
+    for problem, starts in batches:
         result = minimize_batched(
             problem.objective, jnp.asarray(starts), solver, stopping
         )

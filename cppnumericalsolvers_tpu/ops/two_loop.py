@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = [
@@ -200,24 +201,28 @@ def two_loop_pallas_batched(
     )
     gam = jnp.zeros((b_pad, 1), dtype).at[:b, 0].set(gamma.astype(dtype))
 
+    # Index maps return explicit i32 blocks: under jax_enable_x64 a Python
+    # `0` traces as an i64 constant, which Mosaic cannot legalize.  numpy
+    # scalars stay untraced constants (index maps may not capture tracers).
+    zero = np.int32(0)
     grid = (b_pad // tb,)
     out = pl.pallas_call(
         _two_loop_kernel,
         out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tb, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n_pad), lambda i: (i, zero), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tb, m, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (tb, m, n_pad), lambda i: (i, zero, zero), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tb, m, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (tb, m, n_pad), lambda i: (i, zero, zero), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, zero), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, zero), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tb, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tb, n_pad), lambda i: (i, zero), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(g, s, y, gam, cnt)
