@@ -34,6 +34,7 @@ from .core import (
     minimize,
     minimize_batched,
     objective,
+    resume,
     status_message,
 )
 from . import linesearch, models, ops, parallel, solvers
@@ -68,6 +69,7 @@ __all__ = [
     "minimize_batched",
     "models",
     "objective",
+    "resume",
     "ops",
     "parallel",
     "print_progress",

@@ -1,4 +1,5 @@
 from .callbacks import IterationTrace, init_trace, print_progress, record_trace
+from .driver import resume
 from .driver import MinimizeResult, SolverBase, minimize, minimize_batched
 from .penalty import (
     MultiplierState,
@@ -65,6 +66,7 @@ __all__ = [
     "min_zero",
     "minimize",
     "minimize_batched",
+    "resume",
     "objective",
     "status_message",
     "tree_where",

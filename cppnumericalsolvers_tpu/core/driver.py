@@ -38,7 +38,13 @@ from .progress import (
 from .status import Status
 from .tree import tree_where
 
-__all__ = ["SolverBase", "MinimizeResult", "minimize", "minimize_batched"]
+__all__ = [
+    "SolverBase",
+    "MinimizeResult",
+    "minimize",
+    "minimize_batched",
+    "resume",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -234,3 +240,95 @@ def minimize_batched(
     if stopping is None:
         stopping = solver.default_stopping(x0_batch.dtype)
     return _solve_batched_jit(objective, x0_batch, solver, stopping, trace)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("objective", "solver", "trace", "callback")
+)
+def _resume_jit(
+    objective, state, internals, progress, solver, stopping, trace=0,
+    callback=None,
+):
+    # Re-open the stopping machine: clear the terminal status but keep every
+    # counter (violation counts, plateau ring, num_iterations) so the resumed
+    # trajectory is exactly the uninterrupted one.
+    progress = progress._replace(
+        status=jnp.asarray(int(Status.CONTINUE), jnp.int32)
+    )
+    stopping_inner = solver.transform_stopping(stopping)
+    progress_mode = getattr(solver, "progress_mode", None) or objective.mode
+
+    def cond(carry):
+        _, _, p, _ = carry
+        return p.status == int(Status.CONTINUE)
+
+    def body(carry):
+        st, ints, p, tb = carry
+        new_state, new_internals = solver.step(
+            objective, st, ints, stopping_inner
+        )
+        new_p = update_progress(
+            p, st, new_state, stopping_inner, mode=progress_mode
+        )
+        new_p = solver.post_update(
+            objective, new_state, new_internals, new_p, stopping
+        )
+        if tb is not None:
+            tb = record_trace(tb, new_p, new_state)
+        if callback is not None:
+            jax.debug.callback(
+                callback,
+                {
+                    "num_iterations": new_p.num_iterations,
+                    "value": new_state.value,
+                    "gradient_norm": jnp.max(jnp.abs(new_state.gradient)),
+                    "x_delta": new_p.x_delta,
+                    "f_delta": new_p.f_delta,
+                    "status": new_p.status,
+                },
+            )
+        new_carry = (new_state, new_internals, new_p, tb)
+        done = p.status != int(Status.CONTINUE)
+        return tree_where(done, carry, new_carry)
+
+    trace0 = init_trace(trace, state.value.dtype) if trace > 0 else None
+    state, internals, progress, trace_out = lax.while_loop(
+        cond, body, (state, internals, progress, trace0)
+    )
+    return MinimizeResult(
+        state=state, progress=progress, internals=internals, trace=trace_out
+    )
+
+
+def resume(
+    objective: Objective,
+    checkpoint: MinimizeResult,
+    solver: SolverBase,
+    stopping: StoppingCriteria | None = None,
+    *,
+    trace: int = 0,
+    callback=None,
+) -> MinimizeResult:
+    """Continue a solve from a checkpointed :class:`MinimizeResult`.
+
+    All solver state is value state (the reference's continuation-friendly
+    design, augmented_lagrangian.h:195-203; SURVEY.md §5 checkpoint/resume),
+    so a checkpoint is just the result pytree — serialize it with np.savez /
+    orbax and pass it back here.  A solve interrupted at iteration k (e.g.
+    via ``max_iterations=k``) and resumed reproduces the uninterrupted
+    trajectory exactly: progress counters, the plateau ring, and solver
+    internals are all carried.
+    """
+    solver.check_mode(objective)
+    if stopping is None:
+        stopping = solver.default_stopping(checkpoint.state.x.dtype)
+    return _resume_jit(
+        objective,
+        checkpoint.state,
+        checkpoint.internals,
+        checkpoint.progress,
+        solver,
+        stopping,
+        trace,
+        callback,
+    )
