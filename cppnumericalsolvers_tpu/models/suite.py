@@ -73,7 +73,7 @@ def _brown_badly_scaled(x):
 
 
 def _beale(x):
-    y = jnp.array([1.5, 2.25, 2.625])
+    y = jnp.asarray(np.array([1.5, 2.25, 2.625]), x.dtype)
     i = jnp.arange(1, 4, dtype=x.dtype)
     r = y - x[0] * (1.0 - x[1] ** i)
     return _sumsq(r)
@@ -158,9 +158,9 @@ def _box3d(x):
 
 def _powell_singular(x):
     r1 = x[0] + 10.0 * x[1]
-    r2 = jnp.sqrt(5.0) * (x[2] - x[3])
+    r2 = math.sqrt(5.0) * (x[2] - x[3])
     r3 = (x[1] - 2.0 * x[2]) ** 2
-    r4 = jnp.sqrt(10.0) * (x[0] - x[3]) ** 2
+    r4 = math.sqrt(10.0) * (x[0] - x[3]) ** 2
     return r1 * r1 + r2 * r2 + r3 * r3 + r4 * r4
 
 
@@ -169,10 +169,10 @@ def _wood(x):
         [
             10.0 * (x[1] - x[0] ** 2),
             1.0 - x[0],
-            jnp.sqrt(90.0) * (x[3] - x[2] ** 2),
+            math.sqrt(90.0) * (x[3] - x[2] ** 2),
             1.0 - x[2],
-            jnp.sqrt(10.0) * (x[1] + x[3] - 2.0),
-            (x[1] - x[3]) / jnp.sqrt(10.0),
+            math.sqrt(10.0) * (x[1] + x[3] - 2.0),
+            (x[1] - x[3]) / math.sqrt(10.0),
         ]
     )
     return _sumsq(r)
