@@ -5,7 +5,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tree_where"]
+__all__ = ["tree_where", "shard_map"]
+
+# jax.shard_map graduated from jax.experimental in 0.8; keep one import site
+# with a fallback so the framework spans both API generations.
+try:
+    from jax import shard_map  # noqa: F401  (jax >= 0.8)
+except ImportError:  # pragma: no cover - legacy jax
+    from jax.experimental.shard_map import shard_map  # noqa: F401
 
 
 def tree_where(pred, if_true, if_false):

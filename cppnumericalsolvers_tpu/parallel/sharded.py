@@ -67,7 +67,7 @@ def minimize_sharded(
     ``x0_batch`` is (B, n) with B divisible by the mesh size.  Every result
     leaf gains a leading sharded batch axis.  Each device solves its local
     shard with zero cross-device communication (see module docstring)."""
-    from jax.experimental.shard_map import shard_map
+    from ..core.tree import shard_map
 
     solver.check_mode(objective)
     x0_batch = jnp.asarray(x0_batch)
@@ -99,7 +99,10 @@ def minimize_sharded(
         mesh=mesh,
         in_specs=(P(axis), P()),
         out_specs=out_specs,
-        check_rep=False,
+        # Per-device solves are embarrassingly parallel; skip the
+        # varying-manual-axes type check (it rejects mixing the replicated
+        # stopping config with per-shard state in while_loop carries).
+        check_vma=False,
     )
     fn = jax.jit(
         sharded,
