@@ -63,6 +63,11 @@ class Lbfgs(SolverBase):
     max_linesearch_fev: int = 20
     #: Pluggable search (lbfgs.h:40-41): more_thuente | hager_zhang | armijo.
     line_search: str = "more_thuente"
+    #: Two-loop lowering: "auto" (fused Pallas kernel on the batched TPU
+    #: path) | "xla" (pure-XLA scan — required when the solve itself is
+    #: GSPMD-sharded, e.g. parallel.minimize_model_sharded, since a
+    #: pallas_call cannot be auto-partitioned).
+    two_loop_impl: str = "auto"
 
     def init(self, objective: Objective, state: FunctionState) -> LbfgsInternals:
         n = state.x.shape[-1]
@@ -100,7 +105,7 @@ class Lbfgs(SolverBase):
             precond = 1.0 / (jnp.abs(hess_diag) + eps)
             nfev = nfev + 1
 
-        if precond is not None:
+        if precond is not None or self.two_loop_impl == "xla":
             direction = two_loop_direction_xla(
                 gradient,
                 internals.s_memory,
