@@ -104,10 +104,12 @@ def two_loop_direction_xla(
 
 _LANE = 128  # TPU lane width
 _SUBLANE = 8  # f32 sublane tile
-# Batch-tile sweep on a v5e (B=4096, m=10, n=128): 8→996, 64→1534,
-# 128→1099, 512→925 GB/s effective; 64 sublanes is the sweet spot between
-# grid overhead and VMEM pressure.
-_TILE_B = 64
+# Batch-tile sweep (B=1024, m=10, n=32, pipelined device time): 64→30.7,
+# 128→27.4, 256→32.3, 512→34.3 us/call.  At small n the kernel is
+# latency-bound (2m sequential loop steps of few-vreg VPU ops), so fewer,
+# fatter grid programs win; 128 sublanes balances that against VMEM
+# pressure at large n (the cap below shrinks the tile when needed).
+_TILE_B = 128
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -180,7 +182,13 @@ def two_loop_pallas_batched(
     m = s_memory.shape[1]
     dtype = gradient.dtype
 
-    n_pad = _round_up(n, _LANE)
+    # Lane-dim padding only to the sublane quantum (8), NOT to the 128-lane
+    # width: Mosaic masks partial lanes internally, and materialising a
+    # zero-padded (B, m, 128k) copy of the history in HBM costs more
+    # bandwidth than the whole kernel (measured 7.4x slowdown at n=32 from
+    # padding to 128 — the padded copies alone exceeded the kernel's dense
+    # traffic).  Zero lanes leave every dot product unchanged.
+    n_pad = _round_up(n, _SUBLANE)
     # Cap the per-program VMEM footprint (S + Y blocks dominate) at ~2 MB:
     # with double-buffered pipelining plus XLA sometimes homing the padded
     # result tensor in VMEM, a 4 MB cap was observed to overflow the 16 MB
@@ -191,9 +199,16 @@ def two_loop_pallas_batched(
     tb = min(tile_b, _round_up(b, _SUBLANE))
     b_pad = _round_up(b, tb)
 
-    g = jnp.zeros((b_pad, n_pad), dtype).at[:b, :n].set(gradient)
-    s = jnp.zeros((b_pad, m, n_pad), dtype).at[:b, :, :n].set(s_memory)
-    y = jnp.zeros((b_pad, m, n_pad), dtype).at[:b, :, :n].set(y_memory)
+    if n_pad == n:
+        g, s, y = gradient, s_memory, y_memory
+    else:
+        g = jnp.zeros((b, n_pad), dtype).at[:, :n].set(gradient)
+        s = jnp.zeros((b, m, n_pad), dtype).at[:, :, :n].set(s_memory)
+        y = jnp.zeros((b, m, n_pad), dtype).at[:, :, :n].set(y_memory)
+    if b_pad != b:
+        g = jnp.zeros((b_pad, n_pad), dtype).at[:b].set(g)
+        s = jnp.zeros((b_pad, m, n_pad), dtype).at[:b].set(s)
+        y = jnp.zeros((b_pad, m, n_pad), dtype).at[:b].set(y)
     cnt = (
         jnp.zeros((b_pad, 1), jnp.int32)
         .at[:b, 0]
