@@ -139,7 +139,13 @@ def _solve_loop(
             objective, state, internals, stopping_inner
         )
         new_progress = update_progress(
-            progress, state, new_state, stopping_inner, mode=progress_mode
+            progress, state, new_state, stopping_inner, mode=progress_mode,
+            # Solvers that materialise the Hessian (Newton, TrustRegion)
+            # expose cond(H) through their internals so the
+            # HessianConditionViolation test (progress.h:197-208) is live.
+            condition_hessian=getattr(
+                new_internals, "condition_hessian", None
+            ),
         )
         new_progress = solver.post_update(
             objective, new_state, new_internals, new_progress, stopping
@@ -179,9 +185,11 @@ def _solve_loop(
 @functools.partial(
     jax.jit, static_argnames=("objective", "solver", "trace", "callback")
 )
-def _solve_one_jit(objective, x0, solver, stopping, trace=0, callback=None):
+def _solve_one_jit(
+    objective, x0, solver, stopping, trace=0, callback=None, internals=None
+):
     state0 = objective.evaluate(x0, nfev=0)
-    internals0 = solver.init(objective, state0)
+    internals0 = solver.init(objective, state0) if internals is None else internals
     return _solve_loop(
         objective, solver, state0, internals0, stopping, trace, callback
     )
@@ -190,10 +198,17 @@ def _solve_one_jit(objective, x0, solver, stopping, trace=0, callback=None):
 @functools.partial(
     jax.jit, static_argnames=("objective", "solver", "trace")
 )
-def _solve_batched_jit(objective, x0_batch, solver, stopping, trace=0):
+def _solve_batched_jit(objective, x0_batch, solver, stopping, trace=0,
+                       internals=None):
+    if internals is None:
+        return jax.vmap(
+            lambda x0: _solve_one_jit(objective, x0, solver, stopping, trace)
+        )(x0_batch)
     return jax.vmap(
-        lambda x0: _solve_one_jit(objective, x0, solver, stopping, trace)
-    )(x0_batch)
+        lambda x0, ints: _solve_one_jit(
+            objective, x0, solver, stopping, trace, internals=ints
+        )
+    )(x0_batch, internals)
 
 
 def minimize(
@@ -204,6 +219,7 @@ def minimize(
     *,
     trace: int = 0,
     callback=None,
+    internals: Any | None = None,
 ) -> MinimizeResult:
     """Minimize ``objective`` from ``x0`` with ``solver``.
 
@@ -211,12 +227,19 @@ def minimize(
     at the start (solver.h:190-192), then runs the while_loop driver.  The
     whole solve is jitted with (objective, solver) as static keys, so repeat
     solves of the same problem family hit the compile cache.
+
+    ``internals`` overrides the solver's fresh internal state — the analog of
+    the reference's mutable per-solver setup calls (e.g. Lbfgsb.SetBounds,
+    lbfgsb.h:124-130): pass ``Lbfgsb.make_internals(n, dtype, lower, upper)``
+    for runtime bounds, or a previous result's internals for a warm start.
     """
     solver.check_mode(objective)
     x0 = jnp.asarray(x0)
     if stopping is None:
         stopping = solver.default_stopping(x0.dtype)
-    return _solve_one_jit(objective, x0, solver, stopping, trace, callback)
+    return _solve_one_jit(
+        objective, x0, solver, stopping, trace, callback, internals
+    )
 
 
 def minimize_batched(
@@ -226,6 +249,7 @@ def minimize_batched(
     stopping: StoppingCriteria | None = None,
     *,
     trace: int = 0,
+    internals: Any | None = None,
 ) -> MinimizeResult:
     """Solve a batch of instances of the same objective, vmapped.
 
@@ -234,12 +258,19 @@ def minimize_batched(
     pod-level benchmark aggregates).  Each lane runs the exact single-problem
     algorithm; finished lanes are frozen so per-instance nfev and stopping
     semantics match the sequential reference.
+
+    ``internals`` (optional) is a solver-internals pytree with a leading
+    batch axis — per-lane runtime state such as heterogeneous L-BFGS-B boxes
+    (build with ``jax.vmap(lambda lo, up: solver.make_internals(n, dtype,
+    lo, up))(lower_batch, upper_batch)``).
     """
     solver.check_mode(objective)
     x0_batch = jnp.asarray(x0_batch)
     if stopping is None:
         stopping = solver.default_stopping(x0_batch.dtype)
-    return _solve_batched_jit(objective, x0_batch, solver, stopping, trace)
+    return _solve_batched_jit(
+        objective, x0_batch, solver, stopping, trace, internals
+    )
 
 
 @functools.partial(
@@ -268,7 +299,10 @@ def _resume_jit(
             objective, st, ints, stopping_inner
         )
         new_p = update_progress(
-            p, st, new_state, stopping_inner, mode=progress_mode
+            p, st, new_state, stopping_inner, mode=progress_mode,
+            condition_hessian=getattr(
+                new_internals, "condition_hessian", None
+            ),
         )
         new_p = solver.post_update(
             objective, new_state, new_internals, new_p, stopping

@@ -36,7 +36,6 @@ from jax import lax
 from ..core.driver import SolverBase, _solve_loop
 from ..core.penalty import (
     MultiplierState,
-    augmented_lagrangian_value,
     lagrangian_gradient,
     to_augmented_lagrangian,
 )
@@ -362,27 +361,21 @@ def _al_minimize_jit(
             nfev=nfev,
         )
 
-        # --- Constrained Progress::Update (progress.h:217-253).  Metric
-        # deltas are measured on the composites with each state's own
-        # multipliers/penalty (progress.h:162-173). ---
-        prev_value, _ = jax.value_and_grad(
-            lambda z: augmented_lagrangian_value(
-                problem, z, state.multipliers, state.penalty
-            )
-        )(state.x)
-        cur_value, cur_grad = jax.value_and_grad(
-            lambda z: augmented_lagrangian_value(
-                problem, z, new_multipliers, penalty_next
-            )
-        )(x_new)
-        new_state = new_state._replace(nfev=new_state.nfev + 2)
+        # --- Constrained Progress::Update (progress.h:217-253).  The f_delta
+        # / gradient_norm fields recorded here are pure observability in the
+        # constrained branch (stopping is decided by feasibility + KKT only),
+        # so instead of re-evaluating fresh composites like the reference
+        # (progress.h:162-173, +2 gradient evals per outer iteration) we
+        # thread the values the inner solve already produced: the composite
+        # that was just minimised, at its start and end points.  Same stop
+        # decisions, two fewer evaluations billed per outer iteration. ---
         new_progress = update_progress_constrained(
             progress,
             state.x,
             x_new,
-            prev_value,
-            cur_value,
-            jnp.max(jnp.abs(cur_grad)),
+            inner_state0.value,
+            inner_res.state.value,
+            jnp.max(jnp.abs(inner_res.state.gradient)),
             max_violation,
             kkt,
             stopping,

@@ -61,8 +61,11 @@ class LbfgsbInternals(NamedTuple):
     y_history: jax.Array  # (m, n)
     count: jax.Array  # int32 valid pairs (slots m-count .. m-1)
     theta: jax.Array  # scalar y.y / y.s scaling (lbfgsb.h:222-223)
-    middle: jax.Array  # (2m, 2m) MM matrix, identity on invalid slots
+    middle_lu: jax.Array  # (2m, 2m) stored LU of MM (lbfgsb.h:229-235)
+    middle_piv: jax.Array  # (2m,) int32 LU pivots
     projected_gradient_norm: jax.Array  # consumed by post_update
+    lower: jax.Array  # (n,) box bounds — runtime state, not jit-static
+    upper: jax.Array  # (n,); per-lane boxes under vmap (lbfgsb.h:124-130)
 
 
 def _build_w(internals: LbfgsbInternals) -> jax.Array:
@@ -74,10 +77,13 @@ def _build_w(internals: LbfgsbInternals) -> jax.Array:
     )
 
 
-def _solve_m(middle: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve MM z = b (lbfgsb.h:311-316); identity slots make this exact for
-    any history count, including zero."""
-    return jnp.linalg.solve(middle, b)
+def _solve_m(middle_lu, middle_piv, b: jax.Array) -> jax.Array:
+    """Solve MM z = b from the per-step LU factorization (lbfgsb.h:311-316,
+    SolveM over the stored LU at :229-235).  Identity rows/columns on invalid
+    slots make this exact for any history count, including zero.  Cost per
+    solve is O(m^2) triangular back-substitution — the factorization itself
+    is paid once per outer step, not per Cauchy-loop trip."""
+    return jax.scipy.linalg.lu_solve((middle_lu, middle_piv), b)
 
 
 class _CauchyCarry(NamedTuple):
@@ -95,9 +101,16 @@ class _CauchyCarry(NamedTuple):
     f_dprime: jax.Array
 
 
-def _generalized_cauchy_point(x, gradient, lower, upper, W, middle, theta):
+def _generalized_cauchy_point(
+    x, gradient, lower, upper, W, middle_lu, middle_piv, theta
+):
     """Piecewise-quadratic search along the projected steepest-descent path
-    (lbfgsb.h:318-430)."""
+    (lbfgsb.h:318-430).
+
+    MM is symmetric ([[-D, L^T], [L, theta S^T S]]), so every quadratic form
+    ``w^T MM^{-1} v`` in the breakpoint recurrences is computed from the ONE
+    per-trip solve ``MM^{-1} w_b`` — O(m^2) per trip against the O(n m^3) of
+    re-factoring (or generically solving) inside the loop."""
     n = x.shape[-1]
     dtype = x.dtype
     max_value = jnp.asarray(jnp.finfo(dtype).max, dtype)
@@ -122,7 +135,7 @@ def _generalized_cauchy_point(x, gradient, lower, upper, W, middle, theta):
     f_prime = -jnp.vdot(d, d)
     f_dprime = jnp.maximum(
         jnp.asarray(_CAUCHY_EPS, dtype),
-        -theta * f_prime - jnp.vdot(p, _solve_m(middle, p)),
+        -theta * f_prime - jnp.vdot(p, _solve_m(middle_lu, middle_piv, p)),
     )
     f_dp_orig = f_dprime
     dt_min = -f_prime / f_dprime
@@ -168,20 +181,20 @@ def _generalized_cauchy_point(x, gradient, lower, upper, W, middle, theta):
         zb = xc_b - x[b]
         c_new = s.c + s.dt * s.p
         wbt = W[b]  # (2m,) row of W
-        mc = _solve_m(middle, c_new)
-        mp = _solve_m(middle, s.p)
-        mwbt = _solve_m(middle, wbt)
+        # One O(m^2) triangular solve per trip; symmetry of MM gives
+        # w^T M^{-1} c = (M^{-1} w)^T c for every quadratic form below.
+        mwbt = _solve_m(middle_lu, middle_piv, wbt)
         f_prime = (
             s.f_prime
             + s.dt * s.f_dprime
             + gb * gb
             + theta * gb * zb
-            - gb * jnp.vdot(wbt, mc)
+            - gb * jnp.vdot(mwbt, c_new)
         )
         f_dprime = (
             s.f_dprime
             - theta * gb * gb
-            - 2.0 * gb * jnp.vdot(wbt, mp)
+            - 2.0 * gb * jnp.vdot(mwbt, s.p)
             - gb * gb * jnp.vdot(wbt, mwbt)
         )
         f_dprime = jnp.maximum(_CAUCHY_EPS * f_dp_orig, f_dprime)
@@ -221,7 +234,7 @@ def _generalized_cauchy_point(x, gradient, lower, upper, W, middle, theta):
 
 
 def _subspace_minimization(
-    x, gradient, x_cauchy, c, lower, upper, W, middle, theta
+    x, gradient, x_cauchy, c, lower, upper, W, middle_lu, middle_piv, theta
 ):
     """Direct primal subspace minimization over the free variables
     (lbfgsb.h:459-515), masked instead of gathered."""
@@ -231,15 +244,19 @@ def _subspace_minimization(
     num_free = jnp.sum(free_mask)
 
     theta_inv = 1.0 / theta
-    rr = gradient + theta * (x_cauchy - x) - W @ _solve_m(middle, c)
+    rr = (
+        gradient
+        + theta * (x_cauchy - x)
+        - W @ _solve_m(middle_lu, middle_piv, c)
+    )
     r = jnp.where(free_mask, rr, 0.0)
 
     # v = M^{-1} (W_F^T r); N = I - M^{-1} (theta^{-1} W_F^T W_F)
     # (lbfgsb.h:484-495) — W_F is W with bound rows zeroed.
     Wf = W * free_mask[:, None].astype(dtype)
-    v = _solve_m(middle, Wf.T @ r)
+    v = _solve_m(middle_lu, middle_piv, Wf.T @ r)
     N = theta_inv * (Wf.T @ Wf)
-    N = jnp.eye(two_m, dtype=dtype) - _solve_m(middle, N)
+    N = jnp.eye(two_m, dtype=dtype) - _solve_m(middle_lu, middle_piv, N)
     v = jnp.linalg.solve(N, v)
 
     # Sign-fixed step (lbfgsb.h:500-504, "MISTAKE IN THE ORIGINAL PAPER").
@@ -294,6 +311,32 @@ class Lbfgsb(SolverBase):
             jnp.broadcast_to(upper, (n,)),
         )
 
+    def make_internals(
+        self, n: int, dtype, lower=None, upper=None
+    ) -> LbfgsbInternals:
+        """Fresh solver internals, optionally with runtime bound arrays.
+
+        Bounds live in the internals pytree (the analog of the reference's
+        per-problem ``SetBounds`` state, lbfgsb.h:124-130), so a vmapped
+        batch can carry a different box per lane: build per-lane internals
+        with ``jax.vmap(lambda lo, up: solver.make_internals(n, dtype, lo,
+        up))`` and pass them to ``minimize_batched(..., internals=...)``.
+        """
+        cfg_lower, cfg_upper = self._bounds(n, dtype)
+        lower = cfg_lower if lower is None else jnp.asarray(lower, dtype)
+        upper = cfg_upper if upper is None else jnp.asarray(upper, dtype)
+        return LbfgsbInternals(
+            s_history=jnp.zeros((self.m, n), dtype),
+            y_history=jnp.zeros((self.m, n), dtype),
+            count=jnp.zeros((), jnp.int32),
+            theta=jnp.ones((), dtype),
+            middle_lu=jnp.eye(2 * self.m, dtype=dtype),
+            middle_piv=jnp.arange(2 * self.m, dtype=jnp.int32),
+            projected_gradient_norm=jnp.asarray(jnp.inf, dtype),
+            lower=jnp.broadcast_to(lower, (n,)),
+            upper=jnp.broadcast_to(upper, (n,)),
+        )
+
     def default_stopping(self, dtype) -> StoppingCriteria:
         # Fortran L-BFGS-B 3.0's factr-based relative f-delta test
         # (lbfgsb.h:76-87): factr=1e7 => 2.22e-9 relative.
@@ -331,16 +374,7 @@ class Lbfgsb(SolverBase):
         )
 
     def init(self, objective: Objective, state: FunctionState) -> LbfgsbInternals:
-        n = state.x.shape[-1]
-        dtype = state.x.dtype
-        return LbfgsbInternals(
-            s_history=jnp.zeros((self.m, n), dtype),
-            y_history=jnp.zeros((self.m, n), dtype),
-            count=jnp.zeros((), jnp.int32),
-            theta=jnp.ones((), dtype),
-            middle=jnp.eye(2 * self.m, dtype=dtype),
-            projected_gradient_norm=jnp.asarray(jnp.inf, dtype),
-        )
+        return self.make_internals(state.x.shape[-1], state.x.dtype)
 
     def step(
         self,
@@ -351,8 +385,7 @@ class Lbfgsb(SolverBase):
     ):
         del stopping
         dtype = state.x.dtype
-        n = state.x.shape[-1]
-        lower, upper = self._bounds(n, dtype)
+        lower, upper = internals.lower, internals.upper
 
         # Project an infeasible iterate into the box; re-evaluate if it moved
         # (lbfgsb.h:144-153).
@@ -367,11 +400,12 @@ class Lbfgsb(SolverBase):
 
         W = _build_w(internals)
         x_cauchy, c = _generalized_cauchy_point(
-            x, gradient, lower, upper, W, internals.middle, internals.theta
+            x, gradient, lower, upper, W,
+            internals.middle_lu, internals.middle_piv, internals.theta,
         )
         subspace_min, do_line_search = _subspace_minimization(
             x, gradient, x_cauchy, c, lower, upper, W,
-            internals.middle, internals.theta,
+            internals.middle_lu, internals.middle_piv, internals.theta,
         )
 
         # Line search from the current iterate toward the subspace minimiser
@@ -389,11 +423,20 @@ class Lbfgsb(SolverBase):
         )
         next_x = jnp.where(do_line_search, ls.x, subspace_min)
 
-        # Clip a bound-crossing step back into the box (lbfgsb.h:199-203)
-        # and refresh (value, gradient) at the final point.
+        # Clip a bound-crossing step back into the box and re-evaluate ONLY
+        # then (lbfgsb.h:199-203): when nothing was clipped the line search
+        # already produced (f, g) at ``ls.x`` — re-evaluating would silently
+        # break the no-redundant-evaluations invariant (function_base.h:
+        # 293-296).  When no variables were free the Cauchy point is taken
+        # with a single direct evaluation (lbfgsb.h:186-193).
         clipped = jnp.clip(next_x, lower, upper)
         was_clipped = jnp.any(clipped != next_x)
-        next_value, next_gradient = objective.value_and_grad(clipped)
+        need_eval = jnp.logical_or(~do_line_search, was_clipped)
+        next_value, next_gradient = lax.cond(
+            need_eval,
+            lambda: objective.value_and_grad(clipped),
+            lambda: (ls.f, ls.g),
+        )
         nfev = nfev + jnp.where(
             do_line_search,
             ls.nfev + jnp.where(was_clipped, 1, 0),
@@ -414,15 +457,21 @@ class Lbfgsb(SolverBase):
         count = jnp.minimum(internals.count + 1, self.m)
         theta = jnp.vdot(new_y, new_y) / s_dot_y
 
+        # Factor MM once per outer step and store the LU (lbfgsb.h:229-235);
+        # the next step's Cauchy walk / subspace solves are then O(m^2) each.
         middle = _build_middle(s_history, y_history, count, theta, self.m)
+        middle_lu, middle_piv = jax.scipy.linalg.lu_factor(middle)
 
         new_internals = LbfgsbInternals(
             s_history=jnp.where(accept, s_history, internals.s_history),
             y_history=jnp.where(accept, y_history, internals.y_history),
             count=jnp.where(accept, count, internals.count),
             theta=jnp.where(accept, theta, internals.theta),
-            middle=jnp.where(accept, middle, internals.middle),
+            middle_lu=jnp.where(accept, middle_lu, internals.middle_lu),
+            middle_piv=jnp.where(accept, middle_piv, internals.middle_piv),
             projected_gradient_norm=proj_norm,
+            lower=internals.lower,
+            upper=internals.upper,
         )
         return next_state, new_internals
 

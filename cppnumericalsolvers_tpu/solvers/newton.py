@@ -9,15 +9,27 @@ under vmap), second-order Armijo line search (armijo.h:67-103).
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core.driver import SolverBase
 from ..core.objective import FunctionState, Objective
 from ..core.progress import StoppingCriteria
 from ..linesearch.armijo import armijo
+from ..utils.linalg import frobenius_condition
 
-__all__ = ["NewtonDescent"]
+__all__ = ["NewtonDescent", "NewtonInternals"]
+
+
+class NewtonInternals(NamedTuple):
+    #: cond(H) at the point the step direction was computed from, feeding the
+    #: HessianConditionViolation test (progress.h:197-208, :318-325).  The
+    #: reference re-evaluates H at the *new* x inside Update; here the
+    #: already-materialised step Hessian is reused (one iteration of lag,
+    #: zero extra evaluations).
+    condition_hessian: jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
@@ -26,7 +38,9 @@ class NewtonDescent(SolverBase):
     safe_guard: float = 1e-5  # diagonal shift (newton_descent.h:69)
 
     def init(self, objective: Objective, state: FunctionState):
-        return ()
+        return NewtonInternals(
+            condition_hessian=jnp.zeros((), state.x.dtype)
+        )
 
     def step(
         self,
@@ -63,4 +77,6 @@ class NewtonDescent(SolverBase):
             gradient=grad,
             nfev=state.nfev + ls.nfev + 2,
         )
-        return next_state, internals
+        return next_state, NewtonInternals(
+            condition_hessian=frobenius_condition(hessian)
+        )

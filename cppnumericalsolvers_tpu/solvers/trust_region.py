@@ -29,12 +29,17 @@ from jax import lax
 from ..core.driver import SolverBase
 from ..core.objective import FunctionState, Objective
 from ..core.progress import StoppingCriteria
+from ..utils.linalg import frobenius_condition
 
 __all__ = ["TrustRegionNewton", "solve_tr_subproblem"]
 
 
 class TrInternals(NamedTuple):
     radius: jax.Array  # persists across steps (trust_region_newton.h:455)
+    #: cond(H) of the step's materialised Hessian for the
+    #: HessianConditionViolation test (progress.h:197-208); zero (criterion
+    #: inert) in hessian_free mode where H is never formed.
+    condition_hessian: jax.Array
 
 
 class _CgCarry(NamedTuple):
@@ -152,7 +157,8 @@ class TrustRegionNewton(SolverBase):
 
     def init(self, objective: Objective, state: FunctionState) -> TrInternals:
         return TrInternals(
-            radius=jnp.asarray(self.initial_radius, state.x.dtype)
+            radius=jnp.asarray(self.initial_radius, state.x.dtype),
+            condition_hessian=jnp.zeros((), state.x.dtype),
         )
 
     def check_mode(self, objective: Objective) -> None:
@@ -181,12 +187,14 @@ class TrustRegionNewton(SolverBase):
             def hvp(v):
                 return objective.hvp(x, v)
             hessian_nfev = 0
+            condition_hessian = jnp.zeros((), x.dtype)
         else:
             hessian = objective.hessian(x)
 
             def hvp(v):
                 return hessian @ v
             hessian_nfev = 1  # the fresh H eval (:199-201)
+            condition_hessian = frobenius_condition(hessian)
 
         # Eisenstat-Walker forcing (:215-220).
         gradient_inf = jnp.max(jnp.abs(gradient))
@@ -264,4 +272,6 @@ class TrustRegionNewton(SolverBase):
             + hessian_nfev
             + jnp.where(final.accepted, 1, 0),
         )
-        return next_state, TrInternals(radius=final.radius)
+        return next_state, TrInternals(
+            radius=final.radius, condition_hessian=condition_hessian
+        )

@@ -135,6 +135,48 @@ def test_plateau_does_not_fire_when_descending():
         prev = cur
 
 
+def test_hessian_condition_violation_fires_end_to_end():
+    # The HessianConditionViolation criterion (progress.h:197-208, :318-325)
+    # must be live, not dead wiring: Newton on an ill-conditioned quadratic
+    # (cond(H) ~ 1e8) with the threshold at 1e4 stops with the dedicated
+    # status on the first update.
+    import jax.numpy as jnp
+
+    from cppnumericalsolvers_tpu import minimize, objective
+    from cppnumericalsolvers_tpu.solvers import NewtonDescent
+
+    def ill_conditioned(x):
+        return 0.5 * (x[0] ** 2 + 1e8 * x[1] ** 2)
+
+    obj = objective(ill_conditioned, mode="second")
+    c = default_stopping(jnp.float64).replace(condition_hessian=1e4)
+    res = minimize(obj, jnp.array([1.0, 1.0]), NewtonDescent(), c)
+    assert int(res.progress.status) == int(Status.HESSIAN_CONDITION_VIOLATION)
+    assert float(res.progress.condition_hessian) > 1e4
+
+    # Disabled threshold (the presets' default 0): the criterion is inert
+    # and the same solve runs to its gradient-norm stop.
+    res2 = minimize(obj, jnp.array([1.0, 1.0]), NewtonDescent())
+    assert int(res2.progress.status) != int(
+        Status.HESSIAN_CONDITION_VIOLATION
+    )
+
+
+def test_hessian_condition_supplied_metric_unit():
+    # Unit-level: the metric only fires when supplied and above threshold.
+    c = crit(condition_hessian=1e3)
+    p = init_progress(jnp.float64)
+    cur = state([2.0, 1.0], 9.0, [1, 1])
+    p = update_progress(p, PREV, cur, c, condition_hessian=jnp.asarray(1e6))
+    assert int(p.status) == int(Status.HESSIAN_CONDITION_VIOLATION)
+    p2 = init_progress(jnp.float64)
+    p2 = update_progress(p2, PREV, cur, c, condition_hessian=jnp.asarray(10.0))
+    assert int(p2.status) == int(Status.CONTINUE)
+    p3 = init_progress(jnp.float64)
+    p3 = update_progress(p3, PREV, cur, c)  # no metric supplied => inert
+    assert int(p3.status) == int(Status.CONTINUE)
+
+
 def test_none_mode_skips_gradient_test():
     c = crit(gradient_norm=1e-5)
     p = init_progress(jnp.float64)
