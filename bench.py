@@ -2,12 +2,15 @@
 
 Reproduces the two claims in BASELINE.md:
 
-* **Reliability** (reference README.md:6-11): the 376-problem benchmark built
-  from the MGH set with multistarts.  Here each MGH problem's starts form one
-  vmapped batch solved by jitted L-BFGS; success per instance is the
-  reference's own contract (f within 1e-4 of f*, or the relative
-  projected-gradient criterion ‖g‖∞ < 1e-5·max(1,‖x‖∞) — progress.h:383-427).
-  Baseline to beat: 95% converged.
+* **Reliability** (reference README.md:6-11): a 376-instance benchmark built
+  from the full 35-function MGH set with dimension sweeps (58 distinct
+  analytic problems) and MGH-style multistarts.  Each problem's starts form
+  one vmapped batch solved by jitted L-BFGS; success per instance is the
+  reference's own contract (f within 1e-4 of f*, or the relative gradient
+  criterion |g|_inf < 1e-5 * max(1,|x|_inf) — progress.h:383-427).  Baseline
+  to beat: 95% converged.  The PRIMARY metric is single-solve convergence
+  (apples-to-apples with the reference's single-run 95%); the
+  restart-polished figure is reported separately and clearly labelled.
 * **Throughput** (BASELINE.json north star): batched iterations/s/chip for a
   1024-instance Rosenbrock-32 L-BFGS solve in float32 on the MXU/VPU.
 
@@ -18,7 +21,6 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
-import math
 import time
 
 import jax
@@ -35,108 +37,72 @@ from cppnumericalsolvers_tpu import (  # noqa: E402
     minimize_batched,
     objective,
 )
-from cppnumericalsolvers_tpu.models.suite import mgh_suite  # noqa: E402
+from cppnumericalsolvers_tpu.models.suite import (  # noqa: E402
+    mgh_benchmark_instances,
+)
 from cppnumericalsolvers_tpu.solvers import Lbfgs  # noqa: E402
 
 TOTAL_INSTANCES = 376  # reference benchmark size (README.md:6)
 BASELINE_CONVERGED_PCT = 95.0  # reference reliability (README.md:8-9)
+POLISH_ROUNDS = 2  # restart rounds for the secondary (polished) metric
 
 
-def _multistart_batches(seed: int = 0):
-    """Expand the MGH set to exactly TOTAL_INSTANCES starting points.
-
-    The reference's external benchmark reaches 376 instances by running the
-    MGH functions from several starts; we distribute starts as evenly as
-    possible (standard start first, then bounded perturbations)."""
-    problems = mgh_suite("float64")
-    n = len(problems)
-    base, extra = divmod(TOTAL_INSTANCES, n)
-    rng = np.random.default_rng(seed)
-    batches = []
-    for i, problem in enumerate(problems):
-        k = base + (1 if i < extra else 0)
-        starts = [problem.x0]
-        for _ in range(k - 1):
-            jitter = rng.uniform(-0.5, 0.5, size=problem.x0.shape)
-            starts.append(problem.x0 * (1.0 + jitter) + 0.1 * jitter)
-        batches.append((problem, np.stack(starts)))
-    assert sum(b.shape[0] for _, b in batches) == TOTAL_INSTANCES
-    return batches
+def reliability_solver():
+    return Lbfgs(m=10)
 
 
-def run_reliability():
-    solver = Lbfgs(m=10)
+def reliability_stopping():
     # The reference's own guidance (progress.h:414-431): MGH problems with
     # flat valleys (Powell badly scaled, Meyer, Powell singular) need the
     # Conservative preset or the plateau test fires at a non-minimiser.  Its
     # external benchmark sweeps stopping parameters (CPPOPT_SWEEP); we pin
-    # the published Conservative preset for comparability.
-    stopping = conservative_stopping(jnp.float64).replace(
-        # Two x-delta strikes instead of one: with the L-BFGS stall-recovery
-        # reset (solvers/lbfgs.py) a zero-move line search retries once as
-        # steepest descent before the stop fires.  Within the reference's own
-        # sweep space (CPPOPT_X_DELTA_VIOL, progress.h:372).
-        x_delta_violations=2,
-    )
-    t0 = time.perf_counter()
-    batches = _multistart_batches()
+    # the published Conservative preset for comparability, with ONE disclosed
+    # deviation (also carried in the output JSON): two x-delta strikes
+    # instead of one, inside the reference's own sweep space
+    # (CPPOPT_X_DELTA_VIOL, progress.h:372) — the L-BFGS stall-recovery
+    # reset retries a zero-move line search once as steepest descent.
+    return conservative_stopping(jnp.float64).replace(x_delta_violations=2)
 
-    # Pre-compile all per-problem programs concurrently: 33 distinct
-    # (objective, n, B) programs dominate wall time when compiled lazily in
-    # sequence; the compile service parallelizes across threads.
-    from concurrent.futures import ThreadPoolExecutor
-    from cppnumericalsolvers_tpu.core.driver import _solve_batched_jit
 
-    def _warm(args):
-        problem, starts = args
-        _solve_batched_jit.lower(
-            problem.objective, jnp.asarray(starts), solver, stopping
-        ).compile()
+def benchmark_batches(seed: int = 0):
+    """The 376 distinct benchmark instances (58 distinct analytic problems
+    x 6-7 starts each: standard x0, MGH scaled starts, seeded jitters)."""
+    return mgh_benchmark_instances(TOTAL_INSTANCES, seed=seed)
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(_warm, batches))
-    compile_wall = time.perf_counter() - t0
 
-    def check(problem, f, ginf, xinf):
-        grad_ok = ginf < 1e-5 * np.maximum(1.0, xinf)
-        if problem.f_star is not None:
-            f_ok = f <= problem.f_star + 1e-4 * max(1.0, abs(problem.f_star))
-        else:
-            f_ok = np.zeros_like(grad_ok)
-        return np.isfinite(f) & (grad_ok | f_ok)
+def success_mask(problem, f, ginf, xinf):
+    """The reference's per-instance success contract (progress.h:383-427)."""
+    grad_ok = ginf < 1e-5 * np.maximum(1.0, xinf)
+    if problem.f_star is not None:
+        f_ok = f <= problem.f_star + 1e-4 * max(1.0, abs(problem.f_star))
+    else:
+        f_ok = np.zeros_like(grad_ok, dtype=bool)
+    return np.isfinite(f) & (grad_ok | f_ok)
 
-    def fetch(problem, result):
-        f = np.asarray(result.state.value)
-        ginf = np.max(np.abs(np.asarray(result.state.gradient)), axis=-1)
-        xinf = np.max(np.abs(np.asarray(result.state.x)), axis=-1)
-        nfev = np.asarray(result.state.nfev, dtype=np.float64)
-        return check(problem, f, ginf, xinf), nfev, np.asarray(result.state.x)
 
-    t0 = time.perf_counter()
-    # Round 0: dispatch every problem batch before fetching anything — JAX
-    # dispatch is async, so the host never blocks a later problem on an
-    # earlier one's while_loop.
-    pending = [
-        (problem, starts, minimize_batched(
-            problem.objective, jnp.asarray(starts), solver, stopping))
-        for problem, starts in batches
-    ]
-    records = []  # (problem, ok, nfev, x_final)
-    for problem, _, result in pending:
-        ok, nfev, x = fetch(problem, result)
-        records.append([problem, ok, nfev, x])
+def fetch_metrics(problem, result):
+    """(ok, nfev, x_final) off a MinimizeResult — forces device completion."""
+    f = np.asarray(result.state.value)
+    ginf = np.max(np.abs(np.asarray(result.state.gradient)), axis=-1)
+    xinf = np.max(np.abs(np.asarray(result.state.x)), axis=-1)
+    nfev = np.asarray(result.state.nfev, dtype=np.float64)
+    return success_mask(problem, f, ginf, xinf), nfev, np.asarray(result.state.x)
 
-    # Polish rounds: restart unconverged lanes from their final iterate with
-    # fresh L-BFGS history and fresh stopping counters.  A plateau/x-delta
-    # stop at a non-stationary point (the MGH-10 Meyer class) often yields to
-    # a restart because the memoryless first step re-scales the search
-    # direction (the same rationale as the reference's own history reset on
-    # invalid descent, lbfgs.h:214-224).  The whole (B, n) batch is re-run so
-    # the compiled program is reused — already-converged lanes re-converge in
-    # one cheap iteration and their extra evals are NOT billed (a sequential
-    # driver would only restart the failed lanes); restarted lanes accumulate
-    # their true total nfev across rounds.
-    for _ in range(2):
+
+def polish_records(records, solver, stopping, rounds=POLISH_ROUNDS):
+    """Restart unconverged lanes from their final iterate with fresh L-BFGS
+    history and fresh stopping counters, accumulating their true nfev.
+
+    A plateau/x-delta stop at a non-stationary point (the MGH-10 Meyer
+    class) often yields to a restart because the memoryless first step
+    re-scales the search direction (the same rationale as the reference's
+    own history reset on invalid descent, lbfgs.h:214-224).  This is a
+    DIFFERENT protocol from the reference's single-run benchmark, so its
+    result is reported as the separate `converged_pct_with_restarts` metric.
+    Mutates ``records`` in place; records entries are [problem, ok, nfev, x].
+    """
+    restarted = 0
+    for _ in range(rounds):
         todo = [i for i, (_, ok, _, _) in enumerate(records) if not ok.all()]
         if not todo:
             break
@@ -151,19 +117,74 @@ def run_reliability():
         ]
         for i, result in polish:
             problem, ok, nfev, _ = records[i]
-            new_ok, new_nfev, new_x = fetch(problem, result)
+            new_ok, new_nfev, new_x = fetch_metrics(problem, result)
             bad = ~ok
+            restarted += int(bad.sum())
             nfev[bad] += new_nfev[bad]
             records[i] = [problem, ok | new_ok, nfev, new_x]
+    return restarted
 
-    solve_wall = time.perf_counter() - t0
-    converged = sum(int(ok.sum()) for _, ok, _, _ in records)
+
+def precompile(batches, solver, stopping):
+    """Pre-compile all per-problem programs concurrently: 58 distinct
+    (objective, n, B) programs dominate wall time when compiled lazily in
+    sequence; the compile service parallelizes across threads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cppnumericalsolvers_tpu.core.driver import _solve_batched_jit
+
+    def _warm(args):
+        problem, starts = args
+        _solve_batched_jit.lower(
+            problem.objective, jnp.asarray(starts), solver, stopping
+        ).compile()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(_warm, batches))
+
+
+def run_reliability():
+    solver = reliability_solver()
+    stopping = reliability_stopping()
+    t0 = time.perf_counter()
+    batches = benchmark_batches()
+    precompile(batches, solver, stopping)
+    compile_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    # Dispatch every problem batch before fetching anything — JAX dispatch
+    # is async, so the host never blocks a later problem on an earlier one's
+    # while_loop.
+    pending = [
+        (problem, minimize_batched(
+            problem.objective, jnp.asarray(starts), solver, stopping))
+        for problem, starts in batches
+    ]
+    records = []  # [problem, ok, nfev, x_final]
+    for problem, result in pending:
+        ok, nfev, x = fetch_metrics(problem, result)
+        records.append([problem, ok, nfev, x])
+
+    # PRIMARY metric: single-solve results, the reference's own protocol.
+    single_converged = sum(int(ok.sum()) for _, ok, _, _ in records)
     total = sum(ok.size for _, ok, _, _ in records)
-    nfev_sum = sum(float(nfev.sum()) for _, _, nfev, _ in records)
+    single_nfev = sum(float(nfev.sum()) for _, _, nfev, _ in records)
+
+    # SECONDARY metric: up to POLISH_ROUNDS restarts of failed lanes.
+    restarted = polish_records(records, solver, stopping)
+    solve_wall = time.perf_counter() - t0
+
+    polished_converged = sum(int(ok.sum()) for _, ok, _, _ in records)
+    polished_nfev = sum(float(nfev.sum()) for _, _, nfev, _ in records)
     return {
-        "converged_pct": 100.0 * converged / total,
+        "converged_pct_single_solve": 100.0 * single_converged / total,
+        "converged_pct_with_restarts": 100.0 * polished_converged / total,
         "total_instances": total,
-        "mean_nfev": nfev_sum / total,
+        "distinct_problems": len(records),
+        "mean_nfev_single_solve": single_nfev / total,
+        "mean_nfev_with_restarts": polished_nfev / total,
+        "polish_rounds": POLISH_ROUNDS,
+        "polish_restarted_instances": restarted,
         "reliability_wall_s": compile_wall + solve_wall,
         "reliability_solve_s": solve_wall,
     }
@@ -225,12 +246,27 @@ def main():
     rel = run_reliability()
     thr = run_throughput()
     out = {
-        "metric": "mgh376_converged_pct",
-        "value": round(rel["converged_pct"], 2),
+        # PRIMARY: single-solve convergence — the reference's own protocol
+        # (README.md:6-11 is a single-run benchmark).
+        "metric": "mgh376_converged_pct_single_solve",
+        "value": round(rel["converged_pct_single_solve"], 2),
         "unit": "%",
-        "vs_baseline": round(rel["converged_pct"] / BASELINE_CONVERGED_PCT, 4),
+        "vs_baseline": round(
+            rel["converged_pct_single_solve"] / BASELINE_CONVERGED_PCT, 4
+        ),
+        # SECONDARY: restart-polished convergence (protocol disclosed in
+        # polish_records' docstring and the fields below).
+        "converged_pct_with_restarts": round(
+            rel["converged_pct_with_restarts"], 2
+        ),
+        "polish_rounds": rel["polish_rounds"],
+        "polish_restarted_instances": rel["polish_restarted_instances"],
         "total_instances": rel["total_instances"],
-        "mean_nfev": round(rel["mean_nfev"], 1),
+        "distinct_problems": rel["distinct_problems"],
+        "mean_nfev_single_solve": round(rel["mean_nfev_single_solve"], 1),
+        "mean_nfev_with_restarts": round(rel["mean_nfev_with_restarts"], 1),
+        # Stopping-preset deviation disclosure (see reliability_stopping).
+        "stopping_preset": "conservative+x_delta_violations=2",
         "reliability_wall_s": round(rel["reliability_wall_s"], 2),
         "reliability_solve_s": round(rel["reliability_solve_s"], 2),
         "batched_iters_per_s": round(thr["batched_iters_per_s"], 1),

@@ -7,10 +7,13 @@ script reproduces that experiment shape for the new framework against the
 one comparator available in this environment — ``scipy.optimize`` L-BFGS-B,
 the direct descendant of the Fortran code two of those libraries wrap.
 
-Same 376-instance multistart MGH suite as bench.py, same success contract
-(f within 1e-4 of f*, or relative gradient test), same eval accounting
-(every objective/gradient evaluation counts once).  Runs on the CPU backend
-in float64 for an apples-to-apples comparison with SciPy.
+Same 376-instance MGH suite as bench.py (58 distinct problems), same success
+contract (f within 1e-4 of f*, or relative gradient test), same eval
+accounting (every objective/gradient evaluation counts once), and a
+SYMMETRIC protocol: both sides get exactly one attempt per instance (the
+reference's own single-run protocol); compile time is excluded from our wall
+time by the same pre-warm pass bench.py uses.  Runs on the CPU backend in
+float64 for an apples-to-apples comparison with SciPy.
 
 Usage: python benchmarks/compare_scipy.py   (prints one JSON line)
 """
@@ -36,52 +39,19 @@ import numpy as np  # noqa: E402
 from scipy import optimize  # noqa: E402
 
 import bench  # noqa: E402  (repo-root harness: suite + stopping + checks)
-from cppnumericalsolvers_tpu import (  # noqa: E402
-    conservative_stopping,
-    minimize_batched,
-)
-from cppnumericalsolvers_tpu.solvers import Lbfgs  # noqa: E402
+from cppnumericalsolvers_tpu import minimize_batched  # noqa: E402
 
 
-def _success(problem, f, ginf, xinf):
-    grad_ok = ginf < 1e-5 * np.maximum(1.0, xinf)
-    if problem.f_star is not None:
-        f_ok = f <= problem.f_star + 1e-4 * max(1.0, abs(problem.f_star))
-    else:
-        f_ok = np.zeros_like(grad_ok, dtype=bool)
-    return np.isfinite(f) & (grad_ok | f_ok)
-
-
-def run_ours(batches):
-    solver = Lbfgs(m=10)
-    stopping = conservative_stopping(jnp.float64).replace(x_delta_violations=2)
+def run_ours(batches, solver, stopping):
+    """One attempt per instance, using bench.py's own success/fetch logic."""
     oks, nfevs = [], []
-    for problem, starts in batches:
-        result = minimize_batched(
-            problem.objective, jnp.asarray(starts), solver, stopping
-        )
-        f = np.asarray(result.state.value)
-        ginf = np.max(np.abs(np.asarray(result.state.gradient)), axis=-1)
-        xinf = np.max(np.abs(np.asarray(result.state.x)), axis=-1)
-        nfev = np.asarray(result.state.nfev, dtype=np.float64)
-        ok = _success(problem, f, ginf, xinf)
-        # Same polish-restart policy as bench.py run_reliability: failed
-        # lanes get up to two clean restarts, billed to their nfev.
-        x = np.asarray(result.state.x)
-        for _ in range(2):
-            if ok.all():
-                break
-            r2 = minimize_batched(
-                problem.objective, jnp.asarray(x), solver, stopping
-            )
-            f2 = np.asarray(r2.state.value)
-            g2 = np.max(np.abs(np.asarray(r2.state.gradient)), axis=-1)
-            x2inf = np.max(np.abs(np.asarray(r2.state.x)), axis=-1)
-            n2 = np.asarray(r2.state.nfev, dtype=np.float64)
-            bad = ~ok
-            nfev[bad] += n2[bad]
-            ok = ok | _success(problem, f2, g2, x2inf)
-            x = np.asarray(r2.state.x)
+    pending = [
+        (problem, minimize_batched(
+            problem.objective, jnp.asarray(starts), solver, stopping))
+        for problem, starts in batches
+    ]
+    for problem, result in pending:
+        ok, nfev, _ = bench.fetch_metrics(problem, result)
         oks.append(ok)
         nfevs.append(nfev)
     return np.concatenate(oks), np.concatenate(nfevs)
@@ -90,9 +60,9 @@ def run_ours(batches):
 def run_scipy(batches):
     """SciPy L-BFGS-B (unbounded => plain L-BFGS), matched settings.
 
-    m=10 history, pgtol equal to our absolute gradient floor, generous
-    maxfun; nfev counts objective+gradient evaluations once each (SciPy's
-    fun/jac are fused here, as in our value_and_grad)."""
+    m=10 history, gtol at our absolute gradient floor, generous maxfun;
+    nfev counts objective+gradient evaluations once each (SciPy's fun/jac
+    are fused here, as in our value_and_grad)."""
     oks, nfevs = [], []
     for problem, starts in batches:
         vg = jax.jit(jax.value_and_grad(problem.objective.fn))
@@ -108,16 +78,10 @@ def run_scipy(batches):
                 options={"maxcor": 10, "ftol": 1e-12, "gtol": 1e-6,
                          "maxfun": 20000, "maxiter": 10000},
             )
-            f = float(res.fun)
-            g = np.asarray(res.jac)
-            x = np.asarray(res.x)
-            ok = _success(
-                problem,
-                np.asarray([f]),
-                np.asarray([np.max(np.abs(g))]),
-                np.asarray([np.max(np.abs(x))]),
-            )[0]
-            ok_list.append(ok)
+            f = np.asarray([float(res.fun)])
+            ginf = np.asarray([np.max(np.abs(np.asarray(res.jac)))])
+            xinf = np.asarray([np.max(np.abs(np.asarray(res.x)))])
+            ok_list.append(bench.success_mask(problem, f, ginf, xinf)[0])
             nfev_list.append(float(res.nfev))
         oks.append(np.asarray(ok_list))
         nfevs.append(np.asarray(nfev_list))
@@ -125,22 +89,30 @@ def run_scipy(batches):
 
 
 def main():
-    batches = bench._multistart_batches()
+    batches = bench.benchmark_batches()
+    solver = bench.reliability_solver()
+    stopping = bench.reliability_stopping()
+    # Pre-warm our compile cache so ours_wall_s measures solves, not XLA
+    # compilation (SciPy has no compile phase to amortize).
+    bench.precompile(batches, solver, stopping)
+
     t0 = time.perf_counter()
-    ours_ok, ours_nfev = run_ours(batches)
+    ours_ok, ours_nfev = run_ours(batches, solver, stopping)
     t_ours = time.perf_counter() - t0
     t0 = time.perf_counter()
     sp_ok, sp_nfev = run_scipy(batches)
     t_sp = time.perf_counter() - t0
 
     both = ours_ok & sp_ok
-    # First-place wins among commonly-solved instances (the reference's
-    # metric): strictly fewer evaluations wins; ties split evenly.
+    # First-place metric among commonly-solved instances, the reference's
+    # accounting: strictly fewer evaluations is a win; ties are reported
+    # separately AND split evenly into the headline win counts so
+    # `nfev_first_place` is directly comparable to the reference's 230/376.
     wins = int(np.sum(ours_nfev[both] < sp_nfev[both]))
     losses = int(np.sum(ours_nfev[both] > sp_nfev[both]))
     ties = int(both.sum()) - wins - losses
     out = {
-        "metric": "ours_vs_scipy_lbfgsb",
+        "metric": "ours_vs_scipy_lbfgsb_single_solve",
         "total_instances": int(ours_ok.size),
         "ours_converged_pct": round(100.0 * float(ours_ok.mean()), 2),
         "scipy_converged_pct": round(100.0 * float(sp_ok.mean()), 2),
@@ -150,6 +122,7 @@ def main():
         "nfev_wins": wins,
         "nfev_ties": ties,
         "nfev_losses": losses,
+        "nfev_first_place": round(wins + ties / 2.0, 1),
         "ours_wall_s": round(t_ours, 1),
         "scipy_wall_s": round(t_sp, 1),
     }

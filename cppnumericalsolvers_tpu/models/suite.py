@@ -26,7 +26,12 @@ import numpy as np
 
 from ..core.objective import Objective
 
-__all__ = ["SuiteProblem", "mgh_suite", "suite_with_multistarts"]
+__all__ = [
+    "SuiteProblem",
+    "mgh_suite",
+    "mgh_benchmark_instances",
+    "suite_with_multistarts",
+]
 
 
 class SuiteProblem(NamedTuple):
@@ -233,6 +238,32 @@ def _osborne1(x):
     return _sumsq(r)
 
 
+_OSBORNE2_Y = np.array(
+    [1.366, 1.191, 1.112, 1.013, 0.991, 0.885, 0.831, 0.847, 0.786, 0.725,
+     0.746, 0.679, 0.608, 0.655, 0.616, 0.606, 0.602, 0.626, 0.651, 0.724,
+     0.649, 0.649, 0.694, 0.644, 0.624, 0.661, 0.612, 0.558, 0.533, 0.495,
+     0.500, 0.423, 0.395, 0.375, 0.372, 0.391, 0.396, 0.405, 0.428, 0.429,
+     0.523, 0.562, 0.607, 0.653, 0.672, 0.708, 0.633, 0.668, 0.645, 0.632,
+     0.591, 0.559, 0.597, 0.625, 0.739, 0.710, 0.729, 0.720, 0.636, 0.581,
+     0.428, 0.292, 0.162, 0.098, 0.054]
+)
+
+
+def _osborne2(x):
+    # MGH #19 (Osborne 2): 11-parameter sum of four Gaussian/exponential
+    # bumps fit to 65 points; t_i = (i-1)/10.
+    i = jnp.arange(0, 65, dtype=x.dtype)
+    t = i / 10.0
+    model = (
+        x[0] * jnp.exp(-t * x[4])
+        + x[1] * jnp.exp(-((t - x[8]) ** 2) * x[5])
+        + x[2] * jnp.exp(-((t - x[9]) ** 2) * x[6])
+        + x[3] * jnp.exp(-((t - x[10]) ** 2) * x[7])
+    )
+    r = jnp.asarray(_OSBORNE2_Y, x.dtype) - model
+    return _sumsq(r)
+
+
 def _watson(x):
     n = x.shape[0]
     i = jnp.arange(1, 30, dtype=x.dtype)
@@ -374,6 +405,17 @@ def _linear_rank1(x, m=20):
     return _sumsq(r)
 
 
+def _linear_rank1_zero(x, m=20):
+    # MGH #36: linear function, rank 1 with zero columns and rows.
+    # r_1 = -1, r_m = -1, r_i = (i-1) * sum_{j=2}^{n-1} j x_j - 1 otherwise.
+    n = x.shape[0]
+    j = jnp.arange(2, n, dtype=x.dtype)
+    s = jnp.sum(j * x[1:-1])
+    i = jnp.arange(2, m, dtype=x.dtype)
+    r_mid = (i - 1.0) * s - 1.0
+    return 2.0 + _sumsq(r_mid)  # r_1^2 + r_m^2 = 2
+
+
 def _chebyquad(x):
     n = x.shape[0]
     # Chebyshev polynomials (shifted to [0, 1]) via recurrence.
@@ -455,6 +497,11 @@ def mgh_suite(dtype_str: str = "float64") -> tuple[SuiteProblem, ...]:
             arr(0.5, 1.5, -1.0, 0.01, 0.02), 5.46489e-5,
         ),
         SuiteProblem(
+            "osborne2", _obj(_osborne2),
+            arr(1.3, 0.65, 0.65, 0.7, 0.6, 3.0, 5.0, 7.0, 2.0, 4.5, 5.5),
+            4.01377e-2,
+        ),
+        SuiteProblem(
             "watson6", _obj(_watson), np.zeros(6, f), 2.28767e-3
         ),
         SuiteProblem(
@@ -509,11 +556,186 @@ def mgh_suite(dtype_str: str = "float64") -> tuple[SuiteProblem, ...]:
         ),
         SuiteProblem(
             "linear_rank1_10", _obj(_linear_rank1), np.ones(10, f),
-            None,  # f* = m(m-1)/(2(2m+1)); gradient criterion is cleaner
+            # f* = m(m-1)/(2(2m+1)) with m=20 (MGH table 2).
+            20.0 * 19.0 / (2.0 * 41.0),
+        ),
+        SuiteProblem(
+            "linear_rank1_zero10", _obj(_linear_rank1_zero), np.ones(10, f),
+            # f* = (m^2 + 3m - 6)/(2(2m - 3)) with m=20.
+            (400.0 + 60.0 - 6.0) / (2.0 * 37.0),
         ),
         SuiteProblem("chebyquad8", _obj(_chebyquad), np.arange(1, 9, dtype=f) / 9.0, 3.51687e-3),
     ]
     return tuple(problems)
+
+
+class _BenchEntry(NamedTuple):
+    problem: SuiteProblem
+    #: Extra deterministic start multipliers beyond the standard x0 — the
+    #: MGH paper's own protocol tests each function from x0, 10*x0, 100*x0
+    #: where the function stays finite/meaningful there.
+    scales: tuple
+
+
+@functools.lru_cache(maxsize=None)
+def _benchmark_entries(dtype_str: str = "float64") -> tuple[_BenchEntry, ...]:
+    """The 376-instance benchmark's distinct-problem table.
+
+    58 distinct analytic problems: the full 35-function MGH set at standard
+    dimensions plus dimension sweeps of every variable-dimension family
+    (MGH 1981 tables 1-2; the reference's external benchmark reaches 376
+    problems the same way — README.md:6-11)."""
+    f = np.float64 if dtype_str == "float64" else np.float32
+    by_name = {p.name: p for p in mgh_suite(dtype_str)}
+
+    def std(name, *scales):
+        return _BenchEntry(by_name[name], tuple(float(s) for s in scales))
+
+    def var(name, fn, x0, f_star, *scales):
+        return _BenchEntry(
+            SuiteProblem(name, _obj(fn), np.asarray(x0, f), f_star),
+            tuple(float(s) for s in scales),
+        )
+
+    def rng_arange(n):
+        return np.arange(1, n + 1, dtype=f)
+
+    def disc_start(n):
+        t = rng_arange(n) / (n + 1.0)
+        return t * (t - 1.0)
+
+    entries = [
+        # -- fixed-dimension MGH functions (standard starts; scale
+        #    multipliers only where the function is finite & sensible there).
+        std("rosenbrock", 10, 100),
+        std("freudenstein_roth", 10),
+        std("powell_badly_scaled"),
+        std("brown_badly_scaled", 10),
+        std("beale", 10),
+        std("jennrich_sampson"),
+        std("helical_valley", 10, 100),
+        std("bard", 10),
+        std("gaussian"),
+        std("meyer"),
+        std("gulf"),
+        std("box3d"),
+        std("powell_singular", 10, 100),
+        std("wood", 10, 100),
+        std("kowalik_osborne", 10),
+        std("brown_dennis", 10),
+        std("biggs_exp6"),
+        std("osborne1"),
+        std("osborne2"),
+        # -- variable-dimension families: dimension sweeps.
+        var("watson6", _watson, np.zeros(6, f), 2.28767e-3),
+        var("watson9", _watson, np.zeros(9, f), 1.39976e-6),
+        var("watson12", _watson, np.zeros(12, f), 4.72238e-10),
+    ]
+    for n in (10, 20, 40):
+        entries.append(var(
+            f"extended_rosenbrock{n}", _extended_rosenbrock,
+            np.tile(np.asarray([-1.2, 1.0], f), n // 2), 0.0, 10, 100,
+        ))
+    for n in (12, 24, 40):
+        entries.append(var(
+            f"extended_powell{n}", _extended_powell,
+            np.tile(np.asarray([3.0, -1.0, 0.0, 1.0], f), n // 4), 0.0,
+            10, 100,
+        ))
+    for n, fs in ((4, 2.24997e-5), (10, 7.08765e-5)):
+        entries.append(var(f"penalty1_{n}", _penalty1, rng_arange(n), fs, 10))
+    for n, fs in ((4, 9.37629e-6), (10, 2.93660e-4)):
+        entries.append(var(
+            f"penalty2_{n}", _penalty2, np.full(n, 0.5, f), fs, 10
+        ))
+    for n in (8, 10, 20):
+        entries.append(var(
+            f"variably_dimensioned{n}", _variably_dimensioned,
+            1.0 - rng_arange(n) / n, 0.0, 10,
+        ))
+    for n in (5, 10, 20):
+        entries.append(var(
+            f"trigonometric{n}", _trigonometric, np.full(n, 1.0 / n, f),
+            0.0, 10,
+        ))
+    for n in (10, 20, 40):
+        # No scaled starts: f ~ prod(x)^2 ~ s^2n explodes double range and
+        # the gradient (~1e27 at s=5, n=20) defeats any line search.  f*=0
+        # is the global value (MGH table 2); the f=1 second stationary point
+        # is covered by the gradient criterion.
+        entries.append(var(
+            f"brown_almost_linear{n}", _brown_almost_linear,
+            np.full(n, 0.5, f), 0.0,
+        ))
+    for n in (10, 20):
+        entries.append(var(
+            f"discrete_boundary{n}", _discrete_boundary, disc_start(n),
+            0.0, 10, 100,
+        ))
+        entries.append(var(
+            f"discrete_integral{n}", _discrete_integral, disc_start(n),
+            0.0, 10,
+        ))
+        entries.append(var(
+            f"broyden_tridiagonal{n}", _broyden_tridiagonal,
+            np.full(n, -1.0, f), 0.0, 10, 100,
+        ))
+        entries.append(var(
+            f"broyden_banded{n}", _broyden_banded, np.full(n, -1.0, f),
+            0.0, 10,
+        ))
+    for n, m in ((10, 20), (20, 40)):
+        entries.append(var(
+            f"linear_full_rank{n}_{m}",
+            functools.partial(_linear_full_rank, m=m), np.ones(n, f),
+            float(m - n), 10, 100,
+        ))
+        entries.append(var(
+            f"linear_rank1_{n}_{m}",
+            functools.partial(_linear_rank1, m=m), np.ones(n, f),
+            m * (m - 1.0) / (2.0 * (2.0 * m + 1.0)), 10, 100,
+        ))
+        entries.append(var(
+            f"linear_rank1_zero{n}_{m}",
+            functools.partial(_linear_rank1_zero, m=m), np.ones(n, f),
+            (m * m + 3.0 * m - 6.0) / (2.0 * (2.0 * m - 3.0)), 10, 100,
+        ))
+    for n, fs in ((7, 0.0), (8, 3.51687e-3), (10, None)):
+        entries.append(var(
+            f"chebyquad{n}", _chebyquad, rng_arange(n) / (n + 1.0), fs
+        ))
+    return tuple(entries)
+
+
+def mgh_benchmark_instances(
+    total: int = 376, seed: int = 0, dtype_str: str = "float64"
+) -> list[tuple[SuiteProblem, np.ndarray]]:
+    """Expand the benchmark entries to exactly ``total`` instances.
+
+    Instance k of a problem starts from (in order): the standard x0; the
+    MGH-style scaled starts ``s * x0`` for the entry's safe scale list; then
+    deterministic seeded perturbations of x0.  With 58 distinct problems and
+    total=376 each problem gets 6-7 starts, so the suite measures breadth
+    across distinct analytic problems rather than jitter density."""
+    entries = _benchmark_entries(dtype_str)
+    k_total = len(entries)
+    base, extra = divmod(total, k_total)
+    rng = np.random.default_rng(seed)
+    out = []
+    for i, entry in enumerate(entries):
+        k = base + (1 if i < extra else 0)
+        x0 = entry.problem.x0
+        starts = [x0]
+        for s in entry.scales[: max(0, k - 1)]:
+            starts.append(x0 * s)
+        while len(starts) < k:
+            jitter = rng.uniform(-0.5, 0.5, size=x0.shape)
+            starts.append(x0 * (1.0 + jitter) + 0.1 * jitter)
+        out.append(
+            (entry.problem, np.stack(starts).astype(x0.dtype))
+        )
+    assert sum(b.shape[0] for _, b in out) == total
+    return out
 
 
 def suite_with_multistarts(
