@@ -20,7 +20,12 @@ from .armijo import armijo
 from .hager_zhang import hager_zhang
 from .more_thuente import more_thuente
 
-__all__ = ["LineSearchResult", "run_line_search", "LINE_SEARCHES"]
+__all__ = [
+    "LineSearchResult",
+    "run_line_search",
+    "line_search_alpha",
+    "LINE_SEARCHES",
+]
 
 LINE_SEARCHES = ("more_thuente", "hager_zhang", "armijo")
 
@@ -68,3 +73,28 @@ def run_line_search(
     raise ValueError(
         f"unknown line search {method!r}; expected one of {LINE_SEARCHES}"
     )
+
+
+def line_search_alpha(
+    method: str,
+    value_and_grad: Callable,
+    x0: jax.Array,
+    direction: jax.Array,
+    alpha_init=1.0,
+    max_fev: int = 20,
+) -> LineSearchResult:
+    """The reference's alpha-only overload (more_thuente.h:63-77,
+    hager_zhang.h:63-77): only ``(x0, direction)`` are supplied; the start
+    value/gradient are evaluated here (billed in ``nfev``).  Returns the full
+    :class:`LineSearchResult` — read ``.alpha`` for the bare step width the
+    C++ overload returns, or ``(.x, .f, .g)`` for the cached-output overload
+    (more_thuente.h:89-107).  The State -> State form the solvers use is
+    :func:`run_line_search`.
+    """
+    x0 = jnp.asarray(x0)
+    f0, g0 = value_and_grad(x0)
+    r = run_line_search(
+        method, value_and_grad, x0, f0, g0, direction, alpha_init,
+        max_fev=max_fev,
+    )
+    return r._replace(nfev=r.nfev + 1)

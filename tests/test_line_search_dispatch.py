@@ -35,3 +35,26 @@ def test_solver_with_search_converges(solver_cls, search):
 def test_unknown_search_raises():
     with pytest.raises(ValueError, match="unknown line search"):
         minimize(rosenbrock(), jnp.array([-1.2, 1.0]), Lbfgs(line_search="nope"))
+
+
+@pytest.mark.parametrize("search", ["more_thuente", "hager_zhang", "armijo"])
+def test_alpha_only_overload(search):
+    """The reference's alpha-only overload (more_thuente.h:63-77): supply
+    only (x0, direction); the search evaluates the start itself and the
+    returned alpha satisfies sufficient decrease on a convex quadratic."""
+    import jax
+    from cppnumericalsolvers_tpu.linesearch import line_search_alpha
+
+    def quad(x):
+        return 0.5 * jnp.sum(x * x)
+
+    vg = jax.value_and_grad(quad)
+    x0 = jnp.array([2.0, -3.0])
+    direction = -vg(x0)[1]  # steepest descent
+    r = line_search_alpha(search, vg, x0, direction, alpha_init=1.0)
+    f0 = float(quad(x0))
+    assert float(r.f) < f0  # decrease achieved at the returned alpha
+    assert float(r.alpha) > 0.0
+    assert int(r.nfev) >= 2  # start eval is billed (the +1 overload cost)
+    # The cached-output overload's (x, f, g) are at the accepted step.
+    assert float(jnp.max(jnp.abs(r.x - (x0 + r.alpha * direction)))) < 1e-12
