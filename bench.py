@@ -190,61 +190,59 @@ def run_reliability():
     }
 
 
-def run_throughput(
-    batch: int = 1024, dim: int = 32, max_iters: int = 100, pipeline: int = 32
-):
-    """Batched L-BFGS iterations/s/chip on extended Rosenbrock (float32).
+def run_throughput(batch: int = 1024, dim: int = 32):
+    """Batched L-BFGS lane-iterations/s/chip on extended Rosenbrock (f32).
 
-    ``pipeline`` independent solve batches are enqueued back-to-back and
-    synchronized once, so the fixed per-dispatch host->device latency
-    amortizes and the figure measures the sustained device step rate (the
-    deployment mode for a solver fleet: many batches in flight), not the
-    single-call round trip."""
-    from cppnumericalsolvers_tpu.core.progress import default_stopping
+    Measured with benchmarks/roofline.py's scan-of-solves iteration-count
+    contrast: many solves run sequentially inside ONE dispatch and two runs
+    differing only in iteration budget are diffed, so the figure is the
+    sustained DEVICE step rate — per-dispatch host/tunnel latency (which
+    can exceed device time at small shapes and silently dominate a
+    pipelined wall-clock measurement) cancels out."""
+    from benchmarks.roofline import measure_shape
 
-    def ext_rosenbrock(x):
-        even, odd = x[0::2], x[1::2]
-        return jnp.sum(100.0 * (odd - even**2) ** 2 + (1.0 - even) ** 2)
+    row = measure_shape(batch, dim, pipeline=16)
+    return {
+        "batched_iters_per_s": row["lane_iters_per_s"],
+        "throughput_nfev_per_iter": row["nfev_per_iter"],
+    }
 
-    obj = objective(ext_rosenbrock, mode="first")
-    rng = np.random.default_rng(1)
-    x0 = jnp.asarray(
-        rng.uniform(-2.0, 2.0, size=(batch, dim)).astype(np.float32)
+
+def run_perf_grid():
+    """Roofline-annotated (B, n) throughput grid (VERDICT round-1 item 1):
+    per-batched-iteration device time, achieved HBM bandwidth from the
+    itemized traffic model, utilization vs the chip's peak, and the named
+    bottleneck per shape.  Methodology + full grid: benchmarks/roofline.py
+    (this compact grid keeps bench.py's runtime bounded)."""
+    from benchmarks.roofline import (
+        analyze_shape,
+        device_peak,
+        measure_shape,
     )
-    solver = Lbfgs(m=10)
-    # Fixed iteration budget, convergence tests off: measures pure step rate.
-    stopping = default_stopping(jnp.float32)._replace(
-        max_iterations=jnp.int32(max_iters),
-        x_delta=jnp.float32(0.0),
-        f_delta=jnp.float32(0.0),
-        gradient_norm=jnp.float32(0.0),
-        past=jnp.int32(0),
-    )
-    # Distinct starting batches so no result can be reused across dispatches.
-    x0s = [
-        jnp.asarray(
-            rng.uniform(-2.0, 2.0, size=(batch, dim)).astype(np.float32)
+
+    peak, kind = device_peak()
+    rows = []
+    for batch, dim in [(1024, 32), (1024, 256), (256, 4096)]:
+        row = analyze_shape(measure_shape(batch, dim, pipeline=8), peak)
+        rows.append(
+            {
+                "B": batch,
+                "n": dim,
+                "per_batched_iter_us": round(row["per_batched_iter_us"], 1),
+                "lane_iters_per_s": round(row["lane_iters_per_s"], 0),
+                "hbm_utilization_pct": round(
+                    row.get("hbm_utilization_pct", float("nan")), 1
+                ),
+                "bottleneck": row.get("bottleneck", "n/a"),
+            }
         )
-        for _ in range(pipeline)
-    ]
-    result = minimize_batched(obj, x0, solver, stopping)  # compile + warmup
-    float(np.asarray(result.state.value).sum())  # fetch forces completion
-    # Timed region ends after the metric data is FETCHED to host, not after
-    # block_until_ready: through remote-device tunnels block_until_ready has
-    # been observed to return before execution finishes, which would
-    # overstate throughput by orders of magnitude; a device_get cannot lie.
-    t0 = time.perf_counter()
-    results = [minimize_batched(obj, xi, solver, stopping) for xi in x0s]
-    iters = sum(
-        float(np.asarray(r.progress.num_iterations).sum()) for r in results
-    )
-    wall = time.perf_counter() - t0
-    return {"batched_iters_per_s": iters / wall, "throughput_wall_s": wall}
+    return {"device_kind": kind, "peak_hbm_gbps": peak, "perf_grid": rows}
 
 
 def main():
     rel = run_reliability()
     thr = run_throughput()
+    grid = run_perf_grid()
     out = {
         # PRIMARY: single-solve convergence — the reference's own protocol
         # (README.md:6-11 is a single-run benchmark).
@@ -270,6 +268,12 @@ def main():
         "reliability_wall_s": round(rel["reliability_wall_s"], 2),
         "reliability_solve_s": round(rel["reliability_solve_s"], 2),
         "batched_iters_per_s": round(thr["batched_iters_per_s"], 1),
+        # Roofline evidence (full analysis: benchmarks/roofline.py +
+        # ROOFLINE.md): utilization % of peak HBM bandwidth per shape, with
+        # the measured bottleneck named.
+        "device_kind": grid["device_kind"],
+        "peak_hbm_gbps": grid["peak_hbm_gbps"],
+        "perf_grid": grid["perf_grid"],
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))

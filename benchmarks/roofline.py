@@ -1,0 +1,393 @@
+"""Roofline / utilization analysis of the batched L-BFGS step on TPU.
+
+BASELINE.md's north star is "per-iteration step at roofline on 1 chip".
+This harness substantiates it: for a (B, n) grid of batched extended-
+Rosenbrock L-BFGS solves it measures the per-iteration device time, derives
+the achieved HBM bandwidth from an itemized traffic model, and reports
+utilization against the chip's peak — plus XLA's own cost analysis of the
+compiled step and an optional ``jax.profiler`` trace capture.
+
+Why the HBM roofline is the relevant ceiling: the L-BFGS step is
+reduction/elementwise work (VPU), not matmul (MXU).  Per lane and iteration
+the fused push+two-loop kernel moves ~4mn floats of history for ~10mn flops
+— an arithmetic intensity of ~0.6 flops/byte, two orders of magnitude below
+the f32 ridge point, so the speed-of-light step time is bytes/BW and flops
+never bind.  The traffic model (per lane, per iteration, in floats):
+
+    history    4mn      fused kernel: read S,Y + write S,Y (ops/two_loop.py)
+    kernel i/o 4n       g, s_pending, y_pending in; direction out
+    linesearch ~5n/ev   trial x = x0 + a*d (read x0,d, write x) + the
+                        objective's value_and_grad pass (read x, write g)
+    driver     ~12n     state selects, s/y diffs, norms, progress machine
+
+Two regimes emerge (and are classified per shape below): at large n the
+step is HBM-bandwidth-bound (utilization is the honest headline); at small
+n it is latency-bound — dozens of O(Bn) VPU ops inside the while_loop body,
+each too small to fill the memory pipeline, plus fixed per-op overhead.
+
+Usage:
+    python benchmarks/roofline.py             # grid + JSON + ROOFLINE.md
+    python benchmarks/roofline.py --profile   # also capture profiler traces
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/cppns_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from cppnumericalsolvers_tpu import objective  # noqa: E402
+from cppnumericalsolvers_tpu.core.progress import default_stopping  # noqa: E402
+from cppnumericalsolvers_tpu.solvers import Lbfgs  # noqa: E402
+
+M = 10  # L-BFGS history (the benchmark solver's default)
+
+# Peak HBM bandwidth by device kind (GB/s).  Published figures: v4 1228.8,
+# v5e 819.2, v5p 2765, v6e (Trillium) 1640.
+HBM_PEAK_GBPS = {
+    "TPU v4": 1228.8,
+    "TPU v5 lite": 819.2,
+    "TPU v5e": 819.2,
+    "TPU v5": 2765.0,
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,
+    "TPU v6e": 1640.0,
+}
+
+# The default measurement grid: small-n latency regime, mid sizes, and the
+# large-n bandwidth regime (VERDICT round-1 item 1 asks for >= 3 shapes
+# incl. large n).
+GRID = [(1024, 32), (8192, 32), (1024, 256), (1024, 1024), (256, 4096)]
+
+
+def device_peak():
+    kind = jax.devices()[0].device_kind
+    return HBM_PEAK_GBPS.get(kind), kind
+
+
+def ext_rosenbrock(x):
+    even, odd = x[0::2], x[1::2]
+    return jnp.sum(100.0 * (odd - even**2) ** 2 + (1.0 - even) ** 2)
+
+
+def fixed_iteration_stopping(iters, dtype=jnp.float32):
+    """Convergence tests off: measures pure step rate."""
+    return default_stopping(dtype)._replace(
+        max_iterations=jnp.int32(iters),
+        x_delta=dtype(0.0),
+        f_delta=dtype(0.0),
+        gradient_norm=dtype(0.0),
+        past=jnp.int32(0),
+    )
+
+
+def traffic_model_bytes(batch, n, nfev_per_iter, m=M, itemsize=4):
+    """Modeled HBM bytes per BATCHED iteration (all lanes), itemized."""
+    history = 4 * m * n
+    kernel_io = 4 * n
+    linesearch = 5.0 * n * nfev_per_iter
+    driver = 12 * n
+    per_lane = itemsize * (history + kernel_io + linesearch + driver)
+    return batch * per_lane, {
+        "history": batch * itemsize * history,
+        "kernel_io": batch * itemsize * kernel_io,
+        "linesearch": batch * itemsize * linesearch,
+        "driver": batch * itemsize * driver,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("obj", "solver"))
+def _scanned_solves(obj, x0s, solver, stopping):
+    """Run P independent batched solves SEQUENTIALLY inside one dispatch.
+
+    One dispatch means one host->device round trip for P full solves: the
+    iteration-count contrast below then carries P times the signal against
+    a single dispatch's wall-clock noise (through the remote-device tunnel
+    a dispatch costs ~50 ms with several ms of jitter — at small n that
+    noise would swamp per-iteration times measured per-dispatch)."""
+    from jax import lax
+
+    from cppnumericalsolvers_tpu.core.driver import _solve_one_jit
+
+    def body(carry, x0_batch):
+        r = jax.vmap(lambda x: _solve_one_jit(obj, x, solver, stopping))(
+            x0_batch
+        )
+        return carry, (
+            jnp.sum(r.progress.num_iterations),
+            jnp.sum(r.state.nfev),
+            jnp.sum(r.state.value),
+        )
+
+    _, (iters, nfev, values) = lax.scan(body, 0, x0s)
+    return jnp.sum(iters), jnp.sum(nfev), jnp.sum(values)
+
+
+def _run_pipelined(solver, x0s, stopping):
+    """One scanned dispatch over all starting batches; the timed region ends
+    after metric data is FETCHED to host (a device_get cannot lie;
+    block_until_ready has been observed to return early through
+    remote-device tunnels — see bench.py)."""
+    obj = objective(ext_rosenbrock, mode="first")
+    stacked = jnp.stack(x0s)
+    t0 = time.perf_counter()
+    iters, nfev, _ = _scanned_solves(obj, stacked, solver, stopping)
+    iters = float(np.asarray(iters))
+    nfev = float(np.asarray(nfev))
+    wall = time.perf_counter() - t0
+    return wall, iters, nfev
+
+
+def measure_shape(batch, n, pipeline=16, profile_dir=None):
+    """Per-batched-iteration device time via iteration-count contrast.
+
+    Two fixed-iteration runs (I_lo, I_hi) of the same pipelined dispatch
+    differ only in loop trips, so (t_hi - t_lo) / (pipeline * (I_hi - I_lo))
+    cancels the per-dispatch host/tunnel latency.  Both runs stay inside the
+    DESCENT phase of the solve: iterating far past convergence (with the
+    stopping tests disabled) degenerates into stalled 20-eval line searches
+    that inflate the apparent per-iteration cost by 3-5x and measure a
+    regime no converging solve ever runs in."""
+    if n <= 64:
+        iters_lo, iters_hi, pipeline = 10, 60, max(pipeline, 32)
+    elif n <= 1024:
+        iters_lo, iters_hi = 20, 120
+    else:
+        iters_lo, iters_hi = 20, 100
+    rng = np.random.default_rng(0)
+    x0s = [
+        jnp.asarray(
+            rng.uniform(-2.0, 2.0, size=(batch, n)).astype(np.float32)
+        )
+        for _ in range(pipeline)
+    ]
+    solver = Lbfgs(m=M)
+    out = {}
+    for iters in (iters_lo, iters_hi):
+        stopping = fixed_iteration_stopping(iters)
+        # Warm run compiles the scanned program (iteration counts are
+        # dynamic operands, so both settings share one compilation).
+        _run_pipelined(solver, x0s, stopping)
+        if profile_dir and iters == iters_hi:
+            with jax.profiler.trace(profile_dir):
+                wall, total_iters, total_nfev = _run_pipelined(
+                    solver, x0s, stopping
+                )
+        else:
+            wall, total_iters, total_nfev = _run_pipelined(
+                solver, x0s, stopping
+            )
+        out[iters] = (wall, total_iters, total_nfev)
+
+    (w1, i1, f1), (w2, i2, f2) = out[iters_lo], out[iters_hi]
+    batched_iters_lo = i1 / batch  # = pipeline * iters_lo
+    batched_iters_hi = i2 / batch
+    per_iter_s = (w2 - w1) / max(batched_iters_hi - batched_iters_lo, 1.0)
+    nfev_per_iter = (f2 - f1) / max(i2 - i1, 1.0)
+    return {
+        "batch": batch,
+        "n": n,
+        "per_batched_iter_us": per_iter_s * 1e6,
+        "lane_iters_per_s": batch / per_iter_s,
+        "nfev_per_iter": nfev_per_iter,
+    }
+
+
+def analyze_shape(row, peak_gbps):
+    bytes_total, parts = traffic_model_bytes(
+        row["batch"], row["n"], row["nfev_per_iter"]
+    )
+    t = row["per_batched_iter_us"] * 1e-6
+    achieved = bytes_total / t
+    row["model_bytes_per_iter"] = bytes_total
+    row["achieved_gbps"] = achieved / 1e9
+    if peak_gbps:
+        light = bytes_total / (peak_gbps * 1e9)
+        row["hbm_utilization_pct"] = 100.0 * light / t
+        # >=50% of the step spent moving modeled bytes => bandwidth-bound;
+        # otherwise fixed per-op latency dominates (many small VPU ops in
+        # the while_loop body at small n).
+        row["bottleneck"] = (
+            "HBM bandwidth"
+            if row["hbm_utilization_pct"] >= 50.0
+            else "per-op latency (small per-op working sets)"
+        )
+    return row
+
+
+def measure_model_sharded(n=4096, iters_lo=20, iters_hi=100, repeats=6):
+    """Per-iteration time for ONE instance with x sharded over the model
+    axis (parallel/model_sharded.py) on the available mesh.
+
+    With a single real chip the mesh is 1-wide, so this measures the GSPMD
+    path's per-chip overhead versus the fused single-chip kernel (the
+    scaling behavior across mesh sizes is covered by benchmarks/scaling.py
+    on the virtual mesh and by tests/test_model_sharded.py)."""
+    from cppnumericalsolvers_tpu.parallel import make_mesh
+    from cppnumericalsolvers_tpu.parallel.model_sharded import (
+        minimize_model_sharded,
+    )
+
+    mesh = make_mesh(axis="model")
+    obj = objective(ext_rosenbrock, mode="first")
+    solver = Lbfgs(m=M)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-2.0, 2.0, size=(n,)).astype(np.float32))
+    out = {}
+    for iters in (iters_lo, iters_hi):
+        stopping = fixed_iteration_stopping(iters)
+        r = minimize_model_sharded(obj, x0, solver, stopping, mesh=mesh)
+        float(np.asarray(r.state.value))  # compile + sync
+        t0 = time.perf_counter()
+        total = 0.0
+        for _ in range(repeats):
+            r = minimize_model_sharded(obj, x0, solver, stopping, mesh=mesh)
+            total += float(np.asarray(r.progress.num_iterations))
+        out[iters] = (time.perf_counter() - t0, total)
+    (w1, i1), (w2, i2) = out[iters_lo], out[iters_hi]
+    per_iter_s = (w2 - w1) / max(i2 - i1, 1.0)
+    return {
+        "n": n,
+        "mesh_devices": len(mesh.devices.flat),
+        "per_iter_us_model_sharded": per_iter_s * 1e6,
+    }
+
+
+def xla_cost_analysis(batch, n):
+    """XLA's own cost model for one compiled solve (the while_loop body is
+    counted once, i.e. ~per-iteration): cross-check for the traffic model."""
+    from cppnumericalsolvers_tpu.core.driver import _solve_batched_jit
+
+    obj = objective(ext_rosenbrock, mode="first")
+    solver = Lbfgs(m=M)
+    stopping = fixed_iteration_stopping(100)
+    x0 = jnp.zeros((batch, n), jnp.float32)
+    compiled = _solve_batched_jit.lower(obj, x0, solver, stopping).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns [dict]
+        ca = ca[0]
+    return {
+        "xla_flops": ca.get("flops"),
+        "xla_bytes_accessed": ca.get("bytes accessed"),
+    }
+
+
+def write_markdown(rows, peak_gbps, kind, path, sharded=None):
+    lines = [
+        "# Roofline: batched L-BFGS per-iteration step",
+        "",
+        f"Device: {kind}; peak HBM bandwidth used for utilization: "
+        f"{peak_gbps or 'n/a'} GB/s.",
+        "",
+        "Workload: extended Rosenbrock, float32, m=10 More-Thuente L-BFGS,",
+        "fixed iteration budget (convergence tests off), 16 pipelined",
+        "dispatches, per-iteration time from iteration-count contrast",
+        "(methodology + traffic model in benchmarks/roofline.py).",
+        "",
+        "| B | n | us/iter (batched) | lane-iters/s | model MB/iter | "
+        "achieved GB/s | HBM util % | bottleneck |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['batch']} | {r['n']} | {r['per_batched_iter_us']:.1f} | "
+            f"{r['lane_iters_per_s']:.3g} | "
+            f"{r['model_bytes_per_iter'] / 1e6:.2f} | "
+            f"{r.get('achieved_gbps', float('nan')):.1f} | "
+            f"{r.get('hbm_utilization_pct', float('nan')):.1f} | "
+            f"{r.get('bottleneck', 'n/a')} |"
+        )
+    if sharded:
+        lines += [
+            "",
+            f"Model-sharded point (GSPMD over a {sharded['mesh_devices']}"
+            f"-device model-axis mesh, one instance, n={sharded['n']}): "
+            f"{sharded['per_iter_us_model_sharded']:.0f} us/iteration — the "
+            "pure-XLA two-loop path that auto-partitions across chips "
+            "(parallel/model_sharded.py); mesh-size scaling evidence lives "
+            "in benchmarks/scaling.py.",
+        ]
+    lines += [
+        "",
+        "Traffic model per lane-iteration (floats): history 4mn (fused "
+        "push+two-loop kernel reads S,Y once and writes them once — "
+        "ops/two_loop.py), kernel vector i/o 4n, line search ~5n per "
+        "objective evaluation, driver/progress ~12n.",
+        "",
+        "The large-n shapes are HBM-bandwidth-bound: the fused kernel's "
+        "history traffic dominates and achieved bandwidth approaches the "
+        "hardware peak.  The small-n shapes are latency-bound: each of the "
+        "~dozens of O(Bn) VPU ops in the loop body moves too little data "
+        "to fill the memory pipeline; they amortize with batch (see the "
+        "B=8192 row) but per-op overhead, not bandwidth, sets the floor.",
+        "",
+    ]
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", action="store_true",
+                    help="capture jax.profiler traces under profiles/")
+    ap.add_argument("--shapes", default=None,
+                    help="comma list like 1024x32,256x4096 (default: grid)")
+    args = ap.parse_args()
+
+    peak, kind = device_peak()
+    grid = GRID
+    if args.shapes:
+        grid = [
+            tuple(int(v) for v in s.split("x")) for s in args.shapes.split(",")
+        ]
+
+    profile_dir = None
+    rows = []
+    for batch, n in grid:
+        if args.profile:
+            profile_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "..", "profiles", f"lbfgs_b{batch}_n{n}",
+            )
+            os.makedirs(profile_dir, exist_ok=True)
+        row = measure_shape(batch, n, profile_dir=profile_dir)
+        rows.append(analyze_shape(row, peak))
+        print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
+
+    cost = xla_cost_analysis(1024, 256)
+    sharded = measure_model_sharded()
+    print(json.dumps(sharded), file=sys.stderr, flush=True)
+    md_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "ROOFLINE.md"
+    )
+    write_markdown(rows, peak, kind, md_path, sharded)
+    print(
+        json.dumps(
+            {
+                "metric": "lbfgs_roofline_grid",
+                "device_kind": kind,
+                "peak_hbm_gbps": peak,
+                "shapes": rows,
+                "model_sharded_point": sharded,
+                "xla_cost_analysis_b1024_n256": cost,
+                "markdown": "ROOFLINE.md",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

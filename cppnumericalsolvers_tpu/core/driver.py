@@ -68,6 +68,15 @@ class SolverBase:
 
     #: Required objective differentiability: 'none' | 'first' | 'second'.
     mode: str = dataclasses.field(default="first", init=False, repr=False)
+    #: Solver freezes its OWN internals for converged lanes (its ``step``
+    #: accepts ``done=`` and guarantees internals of done lanes are returned
+    #: bit-identical).  The driver then selects only the small state/progress
+    #: pytrees — for solvers carrying large per-lane buffers (L-BFGS's
+    #: (m, n) history) the generic freeze select would re-read and re-write
+    #: those buffers every iteration, tripling their HBM traffic.
+    freeze_in_step: bool = dataclasses.field(
+        default=False, init=False, repr=False
+    )
 
     def init(self, objective: Objective, state: FunctionState) -> Any:
         raise NotImplementedError
@@ -135,9 +144,19 @@ def _solve_loop(
 
     def body(carry):
         state, internals, progress, trace_buf = carry
-        new_state, new_internals = solver.step(
-            objective, state, internals, stopping_inner
-        )
+        # Freeze converged lanes (no-op for an unbatched solve, where the
+        # loop predicate guarantees status == CONTINUE here).
+        done = progress.status != int(Status.CONTINUE)
+        if solver.freeze_in_step:
+            # The solver freezes its own internals (fused into its hot
+            # kernel); the driver selects only the small state/progress.
+            new_state, new_internals = solver.step(
+                objective, state, internals, stopping_inner, done=done
+            )
+        else:
+            new_state, new_internals = solver.step(
+                objective, state, internals, stopping_inner
+            )
         new_progress = update_progress(
             progress, state, new_state, stopping_inner, mode=progress_mode,
             # Solvers that materialise the Hessian (Newton, TrustRegion)
@@ -150,7 +169,13 @@ def _solve_loop(
         new_progress = solver.post_update(
             objective, new_state, new_internals, new_progress, stopping
         )
+        if solver.freeze_in_step:
+            new_state = tree_where(done, state, new_state)
+            new_progress = tree_where(done, progress, new_progress)
         if trace_buf is not None:
+            # On the freeze_in_step path the (state, progress) here are
+            # already frozen: a done lane re-records its existing entry at
+            # the frozen num_iterations index — idempotent.
             trace_buf = record_trace(trace_buf, new_progress, new_state)
         if callback is not None:
             # Live observability (PrintProgressCallback analog,
@@ -166,10 +191,9 @@ def _solve_loop(
                     "status": new_progress.status,
                 },
             )
+        if solver.freeze_in_step:
+            return (new_state, new_internals, new_progress, trace_buf)
         new_carry = (new_state, new_internals, new_progress, trace_buf)
-        # Freeze converged lanes (no-op for an unbatched solve, where the
-        # loop predicate guarantees status == CONTINUE here).
-        done = progress.status != int(Status.CONTINUE)
         return tree_where(done, carry, new_carry)
 
     progress0 = init_progress(state0.value.dtype)
@@ -295,9 +319,15 @@ def _resume_jit(
 
     def body(carry):
         st, ints, p, tb = carry
-        new_state, new_internals = solver.step(
-            objective, st, ints, stopping_inner
-        )
+        done = p.status != int(Status.CONTINUE)
+        if solver.freeze_in_step:
+            new_state, new_internals = solver.step(
+                objective, st, ints, stopping_inner, done=done
+            )
+        else:
+            new_state, new_internals = solver.step(
+                objective, st, ints, stopping_inner
+            )
         new_p = update_progress(
             p, st, new_state, stopping_inner, mode=progress_mode,
             condition_hessian=getattr(
@@ -307,6 +337,9 @@ def _resume_jit(
         new_p = solver.post_update(
             objective, new_state, new_internals, new_p, stopping
         )
+        if solver.freeze_in_step:
+            new_state = tree_where(done, st, new_state)
+            new_p = tree_where(done, p, new_p)
         if tb is not None:
             tb = record_trace(tb, new_p, new_state)
         if callback is not None:
@@ -321,8 +354,9 @@ def _resume_jit(
                     "status": new_p.status,
                 },
             )
+        if solver.freeze_in_step:
+            return (new_state, new_internals, new_p, tb)
         new_carry = (new_state, new_internals, new_p, tb)
-        done = p.status != int(Status.CONTINUE)
         return tree_where(done, carry, new_carry)
 
     trace0 = init_trace(trace, state.value.dtype) if trace > 0 else None

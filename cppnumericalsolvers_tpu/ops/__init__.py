@@ -1,6 +1,9 @@
-"""Fused TPU kernels (Pallas) for the framework's hot ops."""
+"""Hot-path fused ops (Pallas TPU kernels with XLA fallbacks)."""
 
 from .two_loop import (
+    lbfgs_push_and_direction,
+    push_history_xla,
+    push_two_loop_pallas_batched,
     two_loop_direction,
     two_loop_direction_batched,
     two_loop_direction_xla,
@@ -8,6 +11,9 @@ from .two_loop import (
 )
 
 __all__ = [
+    "lbfgs_push_and_direction",
+    "push_history_xla",
+    "push_two_loop_pallas_batched",
     "two_loop_direction",
     "two_loop_direction_batched",
     "two_loop_direction_xla",

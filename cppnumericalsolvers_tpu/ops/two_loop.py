@@ -38,6 +38,9 @@ __all__ = [
     "two_loop_direction_xla",
     "two_loop_direction_batched",
     "two_loop_pallas_batched",
+    "push_history_xla",
+    "lbfgs_push_and_direction",
+    "push_two_loop_pallas_batched",
 ]
 
 
@@ -114,6 +117,14 @@ _TILE_B = 128
 
 def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
+
+
+def _pltpu_compiler_params(pltpu, vmem_limit_bytes: int):
+    """CompilerParams across jax versions (TPUCompilerParams pre-0.8)."""
+    cls = getattr(pltpu, "CompilerParams", None) or getattr(
+        pltpu, "TPUCompilerParams"
+    )
+    return cls(vmem_limit_bytes=vmem_limit_bytes)
 
 
 def _two_loop_kernel(g_ref, s_ref, y_ref, gamma_ref, count_ref, out_ref):
@@ -276,3 +287,303 @@ def _two_loop_vmap_rule(axis_size, in_batched, gradient, s, y, count, gamma):
     ]
     out = two_loop_direction_batched(*ops)
     return out, True
+
+
+# ---------------------------------------------------------------------------
+# Fused history-push + two-loop (the full L-BFGS direction step)
+# ---------------------------------------------------------------------------
+#
+# The reference updates the (s, y) history right after the line search
+# (lbfgs.h:253-298) and runs the two-loop at the top of the next iteration
+# (lbfgs.h:141-196).  Expressed naively in XLA the push alone costs several
+# full HBM passes over the (B, m, n) buffers per iteration (roll + dynamic
+# row write + two masked selects, each materialised), and the two-loop pays
+# another read.  Relocating the push to the start of the following step makes
+# push + two-loop one kernel: the history is read from HBM once, updated and
+# consumed entirely in VMEM, and written back once — the minimum possible
+# traffic for an op that must persist its history.  Algorithmically nothing
+# moves: the push still happens after the previous step's invalid-descent /
+# stall resets and before the next direction is computed, in exactly the
+# reference's event order.
+
+
+def push_history_xla(s_memory, y_memory, mem_count, gamma, s_new, y_new, valid):
+    """Single-instance curvature-gated chronological append + gamma update.
+
+    Mirrors lbfgs.h:253-298: accept the pair iff ``s.y > eps |s||y|`` (and the
+    producing line search returned finite values — ``valid``); when the buffer
+    is full shift out the oldest row; update the H0 scaling gamma (N&W 7.20)
+    under the reference's finite/magnitude guards.
+    """
+    m = s_memory.shape[0]
+    dtype = s_memory.dtype
+    eps = jnp.finfo(dtype).eps
+
+    sy = jnp.vdot(s_new, y_new)
+    threshold = eps * jnp.linalg.norm(s_new) * jnp.linalg.norm(y_new)
+    accept = jnp.logical_and(valid, sy > threshold)
+    full = mem_count >= m
+    slot = jnp.minimum(mem_count, m - 1)
+
+    def push(buf, row):
+        shifted = jnp.where(full, jnp.roll(buf, -1, axis=0), buf)
+        return jnp.where(accept, shifted.at[slot].set(row), buf)
+
+    s_out = push(s_memory, s_new)
+    y_out = push(y_memory, y_new)
+    count_out = jnp.where(
+        jnp.logical_and(accept, ~full), mem_count + 1, mem_count
+    )
+
+    fallback = jnp.asarray(1e7, dtype)
+    y2 = jnp.vdot(y_new, y_new)
+    temp = sy / jnp.where(y2 > eps, y2, 1.0)
+    ok = jnp.logical_and(
+        jnp.logical_and(valid, y2 > eps),
+        jnp.logical_and(jnp.isfinite(temp), jnp.abs(temp) <= fallback),
+    )
+    gamma_out = jnp.where(ok, jnp.maximum(temp, eps), gamma)
+    return s_out, y_out, count_out, gamma_out
+
+
+def _push_two_loop_kernel(
+    g_ref, s_ref, y_ref, count_ref, gamma_ref, snew_ref, ynew_ref, valid_ref,
+    d_ref, s_out_ref, y_out_ref, count_out_ref, gamma_out_ref,
+):
+    """One (TB, m, n) block: history push, then both two-loop passes, all in
+    a single VMEM residency.  Per-lane divergence (accept / slot / count) is
+    vector masks; every lane runs the same static m-trip loops."""
+    m = s_ref.shape[1]
+    g = g_ref[:]  # (TB, n)
+    dtype = g.dtype
+    eps = jnp.finfo(dtype).eps
+    count = count_ref[:]  # (TB, 1) int32
+    gamma = gamma_ref[:]  # (TB, 1)
+    valid = valid_ref[:] != 0  # (TB, 1)
+    s_new = snew_ref[:]  # (TB, n)
+    y_new = ynew_ref[:]
+
+    sy = jnp.sum(s_new * y_new, axis=-1, keepdims=True)
+    s2 = jnp.sum(s_new * s_new, axis=-1, keepdims=True)
+    y2 = jnp.sum(y_new * y_new, axis=-1, keepdims=True)
+    threshold = eps * jnp.sqrt(s2) * jnp.sqrt(y2)
+    accept = jnp.logical_and(valid, sy > threshold)
+    full = count >= m
+    slot = jnp.minimum(count, m - 1)
+    new_count = jnp.where(
+        jnp.logical_and(accept, jnp.logical_not(full)), count + 1, count
+    )
+
+    temp = sy / jnp.where(y2 > eps, y2, 1.0)
+    gamma_ok = jnp.logical_and(
+        jnp.logical_and(valid, y2 > eps),
+        jnp.logical_and(jnp.isfinite(temp), jnp.abs(temp) <= 1e7),
+    )
+    new_gamma = jnp.where(gamma_ok, jnp.maximum(temp, eps), gamma)
+
+    # Chronological append without gathers: per physical row r the updated
+    # value is (a) s_new where this lane writes row r, (b) the shifted-down
+    # next row where the lane is full (roll by one), (c) the old row
+    # otherwise.  All VPU selects on VMEM-resident tiles.  Rows are streamed
+    # straight into the output refs — keeping all m updated rows live as
+    # values on top of the in+out blocks overflows the 16 MB scoped VMEM at
+    # large n (observed at (tb=8, m=10, n=4096)); the two-loop passes below
+    # re-read them from the (VMEM-resident) output blocks instead.
+    accept_full = jnp.logical_and(accept, full)
+    for r in range(m):
+        if r < m - 1:
+            base_s = jnp.where(accept_full, s_ref[:, r + 1, :], s_ref[:, r, :])
+            base_y = jnp.where(accept_full, y_ref[:, r + 1, :], y_ref[:, r, :])
+        else:
+            base_s, base_y = s_ref[:, r, :], y_ref[:, r, :]
+        write = jnp.logical_and(accept, slot == r)
+        s_out_ref[:, r, :] = jnp.where(write, s_new, base_s)
+        y_out_ref[:, r, :] = jnp.where(write, y_new, base_y)
+
+    # Two-loop recursion on the UPDATED history (see _two_loop_kernel for the
+    # masking rationale).
+    alphas = [None] * m
+    denoms = [None] * m
+    usables = [None] * m
+    q = g
+    for r in range(m - 1, -1, -1):
+        s_r = s_out_ref[:, r, :]
+        y_r = y_out_ref[:, r, :]
+        active = new_count > r
+        denom = jnp.sum(s_r * y_r, axis=-1, keepdims=True)
+        usable = jnp.logical_and(active, jnp.abs(denom) >= eps)
+        rho = jnp.where(usable, 1.0 / denom, 0.0)
+        alpha = rho * jnp.sum(s_r * q, axis=-1, keepdims=True)
+        q = jnp.where(usable, q - alpha * y_r, q)
+        alphas[r], denoms[r], usables[r] = alpha, denom, usable
+
+    q = q * new_gamma
+
+    for r in range(m):
+        s_r = s_out_ref[:, r, :]
+        y_r = y_out_ref[:, r, :]
+        usable = usables[r]
+        rho = jnp.where(usable, 1.0 / denoms[r], 0.0)
+        beta = rho * jnp.sum(y_r * q, axis=-1, keepdims=True)
+        q = jnp.where(usable, q + s_r * (alphas[r] - beta), q)
+
+    d_ref[:] = q
+    count_out_ref[:] = new_count
+    gamma_out_ref[:] = new_gamma
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def push_two_loop_pallas_batched(
+    gradient: jax.Array,  # (B, n)
+    s_memory: jax.Array,  # (B, m, n)
+    y_memory: jax.Array,  # (B, m, n)
+    mem_count: jax.Array,  # (B,) int32
+    gamma: jax.Array,  # (B,)
+    s_new: jax.Array,  # (B, n)
+    y_new: jax.Array,  # (B, n)
+    valid: jax.Array,  # (B,) bool
+    interpret: bool = False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n = gradient.shape
+    m = s_memory.shape[1]
+    dtype = gradient.dtype
+
+    # Same padding policy as two_loop_pallas_batched (sublane quantum only).
+    # The block budget accounts for S/Y appearing as both input AND output
+    # blocks (4 (m, n) blocks per lane).  8 MiB of blocks means ~3-4x that
+    # in total program VMEM once double buffering, unrolled-loop temporaries
+    # and XLA's own around-the-kernel scratch are counted — a 16 MiB budget
+    # (96 lanes at n=1024) was observed to blow the chip's 128 MiB VMEM
+    # whole-program, while minimum 8-lane tiles leave the kernel
+    # grid-overhead-bound; 8 MiB sits between.
+    n_pad = _round_up(n, _SUBLANE)
+    bytes_per_lane = 4 * m * n_pad * jnp.dtype(dtype).itemsize
+    vmem_cap_lanes = max(_SUBLANE, (8 << 20) // max(bytes_per_lane, 1))
+    tile_b = min(_TILE_B, (vmem_cap_lanes // _SUBLANE) * _SUBLANE)
+    tb = min(tile_b, _round_up(b, _SUBLANE))
+    b_pad = _round_up(b, tb)
+
+    if n_pad == n:
+        g, s, y, sn, yn = gradient, s_memory, y_memory, s_new, y_new
+    else:
+        g = jnp.zeros((b, n_pad), dtype).at[:, :n].set(gradient)
+        s = jnp.zeros((b, m, n_pad), dtype).at[:, :, :n].set(s_memory)
+        y = jnp.zeros((b, m, n_pad), dtype).at[:, :, :n].set(y_memory)
+        sn = jnp.zeros((b, n_pad), dtype).at[:, :n].set(s_new)
+        yn = jnp.zeros((b, n_pad), dtype).at[:, :n].set(y_new)
+    if b_pad != b:
+        g = jnp.zeros((b_pad, n_pad), dtype).at[:b].set(g)
+        s = jnp.zeros((b_pad, m, n_pad), dtype).at[:b].set(s)
+        y = jnp.zeros((b_pad, m, n_pad), dtype).at[:b].set(y)
+        sn = jnp.zeros((b_pad, n_pad), dtype).at[:b].set(sn)
+        yn = jnp.zeros((b_pad, n_pad), dtype).at[:b].set(yn)
+    cnt = (
+        jnp.zeros((b_pad, 1), jnp.int32)
+        .at[:b, 0]
+        .set(mem_count.astype(jnp.int32))
+    )
+    gam = jnp.zeros((b_pad, 1), dtype).at[:b, 0].set(gamma.astype(dtype))
+    # Pad lanes carry valid=0 so they stay inert no-ops.
+    vld = (
+        jnp.zeros((b_pad, 1), jnp.int32)
+        .at[:b, 0]
+        .set(valid.astype(jnp.int32))
+    )
+
+    zero = np.int32(0)
+    grid = (b_pad // tb,)
+    vec = lambda i: (i, zero)  # noqa: E731
+    mat = lambda i: (i, zero, zero)  # noqa: E731
+    d, s_out, y_out, cnt_out, gam_out = pl.pallas_call(
+        _push_two_loop_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, n_pad), dtype),
+            jax.ShapeDtypeStruct((b_pad, m, n_pad), dtype),
+            jax.ShapeDtypeStruct((b_pad, m, n_pad), dtype),
+            jax.ShapeDtypeStruct((b_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, 1), dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, n_pad), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n_pad), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n_pad), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), vec, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, n_pad), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), vec, memory_space=pltpu.VMEM),
+        ),
+        # Donate the padded history buffers into the outputs: the op's HBM
+        # traffic is exactly one read + one write of the history.
+        input_output_aliases={1: 1, 2: 2},
+        # In+out S/Y blocks double-buffered plus unrolled-loop temporaries
+        # exceed the compiler's default 16 MiB scoped-VMEM cap at large n
+        # even at the minimum 8-lane tile (observed 16.54M at n=4096); v5e
+        # has 128 MiB physical VMEM, so raise the per-kernel cap instead of
+        # spilling to a slower lowering.
+        compiler_params=_pltpu_compiler_params(pltpu, 64 * 1024 * 1024),
+        interpret=interpret,
+    )(g, s, y, cnt, gam, sn, yn, vld)
+    return (
+        d[:b, :n],
+        s_out[:b, :, :n],
+        y_out[:b, :, :n],
+        cnt_out[:b, 0],
+        gam_out[:b, 0].astype(gamma.dtype),
+    )
+
+
+def _push_two_loop_batched(
+    gradient, s_memory, y_memory, mem_count, gamma, s_new, y_new, valid
+):
+    if jax.default_backend() == "tpu" and gradient.dtype != jnp.float64:
+        return push_two_loop_pallas_batched(
+            gradient, s_memory, y_memory, mem_count, gamma, s_new, y_new, valid
+        )
+
+    def one(g, s, y, c, ga, sn, yn, v):
+        s2, y2, c2, ga2 = push_history_xla(s, y, c, ga, sn, yn, v)
+        d = two_loop_direction_xla(g, s2, y2, c2, ga2, None)
+        return d, s2, y2, c2, ga2
+
+    return jax.vmap(one)(
+        gradient, s_memory, y_memory, mem_count, gamma, s_new, y_new, valid
+    )
+
+
+# Public fused op: un-batched calls compose the XLA pieces; a vmapped call
+# (the batched solve path) lowers to the single fused Pallas kernel on TPU.
+@jax.custom_batching.custom_vmap
+def lbfgs_push_and_direction(
+    gradient, s_memory, y_memory, mem_count, gamma, s_new, y_new, valid
+):
+    s2, y2, c2, ga2 = push_history_xla(
+        s_memory, y_memory, mem_count, gamma, s_new, y_new, valid
+    )
+    d = two_loop_direction_xla(gradient, s2, y2, c2, ga2, None)
+    return d, s2, y2, c2, ga2
+
+
+@lbfgs_push_and_direction.def_vmap
+def _push_two_loop_vmap_rule(
+    axis_size, in_batched, gradient, s, y, count, gamma, s_new, y_new, valid
+):
+    ops = [
+        x if batched else jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+        for x, batched in zip(
+            (gradient, s, y, count, gamma, s_new, y_new, valid), in_batched
+        )
+    ]
+    out = _push_two_loop_batched(*ops)
+    return out, (True,) * 5

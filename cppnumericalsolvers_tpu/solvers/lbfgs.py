@@ -3,9 +3,16 @@
 TPU-native re-design of the reference's L-BFGS
 (reference: include/cppoptlib/solver/lbfgs.h:40-324).  The (s, y) correction
 history is a pair of fixed-shape ``(m, n)`` ring buffers carried in the loop
-state — under ``vmap`` they become ``(B, m, n)`` and the two-loop recursion's
-dot products become batched contractions on the MXU.  All of the reference's
-hard-won numerical guards are preserved:
+state — under ``vmap`` they become ``(B, m, n)`` and the whole direction step
+(history push + two-loop recursion) is ONE fused Pallas kernel on TPU: the
+history is read from HBM once per iteration, updated and consumed in VMEM,
+and written back once (see ops/two_loop.py).  To enable that fusion the
+post-line-search history update is carried as a *pending* correction pair and
+applied at the top of the next iteration — the reference's event order
+(resets, then push, then the next two-loop; lbfgs.h:214-224, :253-298,
+:141-196) is preserved exactly.
+
+All of the reference's hard-won numerical guards are preserved:
 
 * curvature-gated history update ``s^T y > eps * |s| * |y|`` (lbfgs.h:253-280,
   the fix for MGH-10 Meyer's 76% pair-rejection pathology);
@@ -27,13 +34,17 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..core.driver import SolverBase
 from ..core.objective import FunctionState, Objective
 from ..core.progress import StoppingCriteria
 from ..linesearch.dispatch import run_line_search
-from ..ops.two_loop import two_loop_direction, two_loop_direction_xla
+from ..ops.two_loop import (
+    lbfgs_push_and_direction,
+    push_history_xla,
+    two_loop_direction,
+    two_loop_direction_xla,
+)
 
 __all__ = ["Lbfgs", "LbfgsInternals", "two_loop_direction"]
 
@@ -44,12 +55,22 @@ class LbfgsInternals(NamedTuple):
     circular buffer with a rotating start pointer (lbfgs.h:157-162); under a
     vmapped batch the per-lane pointers diverge and every access becomes a
     gather, so we pay a contiguous roll on append instead — see
-    ops/two_loop.py for the rationale."""
+    ops/two_loop.py for the rationale.
+
+    The newest correction pair produced by a step is carried as
+    ``(s_pending, y_pending, pending_valid)`` and appended at the top of the
+    NEXT step, fused with that step's two-loop recursion (one HBM round trip
+    for the history per iteration instead of two).  The event order matches
+    the reference: the push still lands after this step's invalid-descent /
+    stall resets and before the next direction is computed."""
 
     s_memory: jax.Array  # (m, n) x-diff history, oldest first
     y_memory: jax.Array  # (m, n) grad-diff history, oldest first
     mem_count: jax.Array  # int32 number of stored corrections (<= m)
     gamma: jax.Array  # scalar H0 scaling factor (N&W 7.20)
+    s_pending: jax.Array  # (n,) newest x-diff, not yet appended
+    y_pending: jax.Array  # (n,) newest grad-diff, not yet appended
+    pending_valid: jax.Array  # bool: pending pair came from a finite step
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,6 +89,13 @@ class Lbfgs(SolverBase):
     #: GSPMD-sharded, e.g. parallel.minimize_model_sharded, since a
     #: pallas_call cannot be auto-partitioned).
     two_loop_impl: str = "auto"
+    #: This solver freezes its own internals for converged lanes (the
+    #: history push is gated by ``done`` inside the fused kernel), sparing
+    #: the driver's generic freeze select from re-reading and re-writing the
+    #: (m, n) buffers every iteration — see core/driver.py.
+    freeze_in_step: bool = dataclasses.field(
+        default=True, init=False, repr=False
+    )
 
     def init(self, objective: Objective, state: FunctionState) -> LbfgsInternals:
         n = state.x.shape[-1]
@@ -77,6 +105,9 @@ class Lbfgs(SolverBase):
             y_memory=jnp.zeros((self.m, n), dtype),
             mem_count=jnp.zeros((), jnp.int32),
             gamma=jnp.ones((), dtype),
+            s_pending=jnp.zeros((n,), dtype),
+            y_pending=jnp.zeros((n,), dtype),
+            pending_valid=jnp.zeros((), jnp.bool_),
         )
 
     def step(
@@ -85,6 +116,7 @@ class Lbfgs(SolverBase):
         state: FunctionState,
         internals: LbfgsInternals,
         stopping: StoppingCriteria,
+        done: jax.Array | None = None,
     ) -> tuple[FunctionState, LbfgsInternals]:
         del stopping
         dtype = state.x.dtype
@@ -93,6 +125,14 @@ class Lbfgs(SolverBase):
 
         gradient = state.gradient
         nfev = state.nfev
+
+        # freeze_in_step contract (core/driver.py): a done lane's internals
+        # must come back unchanged.  Gating the pending pair's validity makes
+        # the fused push a no-op (buffers, count, gamma all pass through);
+        # the cheap per-lane resets below are where(done, ...)-guarded.
+        pending_valid = internals.pending_valid
+        if done is not None:
+            pending_valid = jnp.logical_and(pending_valid, ~done)
 
         precond = None
         if self.use_hessian_preconditioner:
@@ -105,24 +145,35 @@ class Lbfgs(SolverBase):
             precond = 1.0 / (jnp.abs(hess_diag) + eps)
             nfev = nfev + 1
 
+        # Append the previous step's correction pair (curvature-gated,
+        # lbfgs.h:253-298) and compute the new direction (lbfgs.h:141-196).
         if precond is not None or self.two_loop_impl == "xla":
-            direction = two_loop_direction_xla(
-                gradient,
+            s_memory, y_memory, mem_count, gamma = push_history_xla(
                 internals.s_memory,
                 internals.y_memory,
                 internals.mem_count,
                 internals.gamma,
-                precond,
+                internals.s_pending,
+                internals.y_pending,
+                pending_valid,
+            )
+            direction = two_loop_direction_xla(
+                gradient, s_memory, y_memory, mem_count, gamma, precond
             )
         else:
             # custom_vmap op: the batched solve path lowers this to the
             # fused Pallas kernel on TPU (ops/two_loop.py).
-            direction = two_loop_direction(
-                gradient,
-                internals.s_memory,
-                internals.y_memory,
-                internals.mem_count,
-                internals.gamma,
+            direction, s_memory, y_memory, mem_count, gamma = (
+                lbfgs_push_and_direction(
+                    gradient,
+                    internals.s_memory,
+                    internals.y_memory,
+                    internals.mem_count,
+                    internals.gamma,
+                    internals.s_pending,
+                    internals.y_pending,
+                    pending_valid,
+                )
             )
 
         descent = -jnp.vdot(gradient, direction)
@@ -132,7 +183,7 @@ class Lbfgs(SolverBase):
         # Initial step: 1/|d| with no curvature history, else 1
         # (lbfgs.h:199-213).
         alpha_init = jnp.where(
-            internals.mem_count == 0,
+            mem_count == 0,
             jnp.where(direction_norm > eps, 1.0 / direction_norm, 1.0),
             jnp.ones((), dtype),
         )
@@ -148,7 +199,7 @@ class Lbfgs(SolverBase):
             jnp.where(gradient_norm > eps, 1.0 / gradient_norm, 1.0),
             alpha_init,
         )
-        mem_count = jnp.where(invalid, 0, internals.mem_count)
+        mem_count = jnp.where(invalid, 0, mem_count)
 
         # Strong-Wolfe line search along -direction (lbfgs.h:226-232).
         ls = run_line_search(
@@ -186,43 +237,21 @@ class Lbfgs(SolverBase):
         stalled = jnp.max(jnp.abs(s)) <= 0.0
         mem_count = jnp.where(stalled, 0, mem_count)
 
-        # Curvature-gated chronological append (lbfgs.h:253-280): when the
-        # buffer is full the oldest row is shifted out (contiguous roll —
-        # cheap VPU copy, keeps slot order uniform across vmapped lanes).
-        sy = jnp.vdot(s, y)
-        sy_threshold = eps * jnp.linalg.norm(s) * jnp.linalg.norm(y)
-        accept = jnp.logical_and(finite, sy > sy_threshold)
-        full = mem_count >= self.m
-        write_slot = jnp.minimum(mem_count, self.m - 1)
-
-        def push(buf, row):
-            shifted = jnp.where(full, jnp.roll(buf, -1, axis=0), buf)
-            return jnp.where(accept, shifted.at[write_slot].set(row), buf)
-
-        s_memory = push(internals.s_memory, s)
-        y_memory = push(internals.y_memory, y)
-        new_count = jnp.where(
-            jnp.logical_and(accept, ~full), mem_count + 1, mem_count
-        )
-
-        # Gamma update with finite/magnitude guards (lbfgs.h:281-298).
-        fallback_value = jnp.asarray(1e7, dtype)
-        y_norm_sq = jnp.vdot(y, y)
-        temp_scaling = jnp.vdot(y, s) / jnp.where(y_norm_sq > eps, y_norm_sq, 1.0)
-        scaling_ok = jnp.logical_and(
-            jnp.logical_and(finite, y_norm_sq > eps),
-            jnp.logical_and(
-                jnp.isfinite(temp_scaling),
-                jnp.abs(temp_scaling) <= fallback_value,
-            ),
-        )
-        gamma = jnp.where(
-            scaling_ok, jnp.maximum(temp_scaling, eps), internals.gamma
-        )
+        if done is not None:
+            # Done lanes: every internals field returns bit-identical (the
+            # push above was already gated; resets and the new pending pair
+            # must not land).
+            mem_count = jnp.where(done, internals.mem_count, mem_count)
+            s = jnp.where(done, internals.s_pending, s)
+            y = jnp.where(done, internals.y_pending, y)
+            finite = jnp.where(done, internals.pending_valid, finite)
 
         return next_state, LbfgsInternals(
             s_memory=s_memory,
             y_memory=y_memory,
-            mem_count=new_count,
+            mem_count=mem_count,
             gamma=gamma,
+            s_pending=s,
+            y_pending=y,
+            pending_valid=finite,
         )

@@ -96,3 +96,25 @@ def test_batched_matches_single():
         # nfev may drift by a couple of evals when the last line search takes
         # a different interpolation branch at the noise floor.
         assert abs(int(batched.state.nfev[i]) - int(single.state.nfev)) <= 5
+
+
+def test_frozen_lane_metrics_exact():
+    """A lane that converges early must freeze EXACTLY: its iteration count
+    and nfev are those of its own single solve even while other lanes keep
+    the batch loop running for many more iterations (the freeze_in_step
+    contract, core/driver.py — a leaky freeze burns ~20 evals per extra
+    iteration in dead line searches and corrupts per-instance metrics)."""
+    starts = jnp.array([[-0.5, 0.3], [15.0, 8.0]])  # quick lane + far lane
+    batched = minimize_batched(rosenbrock(), starts, Lbfgs())
+    for i in range(2):
+        single = minimize(rosenbrock(), starts[i], Lbfgs())
+        assert int(batched.progress.num_iterations[i]) == int(
+            single.progress.num_iterations
+        ), i
+        assert int(batched.state.nfev[i]) == int(single.state.nfev), i
+        np.testing.assert_allclose(
+            np.asarray(batched.state.x[i]),
+            np.asarray(single.state.x),
+            rtol=0,
+            atol=1e-12,
+        )

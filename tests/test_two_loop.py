@@ -129,3 +129,78 @@ def test_custom_vmap_dispatch_matches_single():
     np.testing.assert_allclose(
         np.asarray(batched), np.asarray(single), rtol=1e-12
     )
+
+
+def _random_push_case(seed, b, m, n):
+    """Batched fused push+two-loop inputs covering accept/reject/full/empty."""
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(0, m + 1, size=b)
+    s_mem = np.zeros((b, m, n))
+    y_mem = np.zeros((b, m, n))
+    for lane in range(b):
+        s_mem[lane], y_mem[lane], _ = _random_history(rng, m, counts[lane], n)
+    g = rng.normal(size=(b, n))
+    gamma = rng.uniform(0.5, 2.0, size=b)
+    s_new = rng.normal(size=(b, n))
+    y_new = rng.normal(size=(b, n))
+    # Mix curvature signs so some lanes reject the pair; mix validity too.
+    flip = rng.random(b) < 0.5
+    y_new[flip] = -np.sign(np.einsum("bn,bn->b", s_new, y_new))[
+        flip, None
+    ] * y_new[flip]
+    valid = rng.random(b) < 0.8
+    # A few lanes push a zero pair (the first-iteration no-op case).
+    s_new[:2] = 0.0
+    y_new[:2] = 0.0
+    return (
+        jnp.asarray(g),
+        jnp.asarray(s_mem),
+        jnp.asarray(y_mem),
+        jnp.asarray(counts, jnp.int32),
+        jnp.asarray(gamma),
+        jnp.asarray(s_new),
+        jnp.asarray(y_new),
+        jnp.asarray(valid),
+    )
+
+
+def test_fused_push_two_loop_pallas_matches_xla():
+    """The fused push+direction Pallas kernel against the composed XLA
+    oracle (push_history_xla + two_loop_direction_xla), per-lane divergent
+    counts/accepts, unaligned shapes, interpret mode."""
+    from cppnumericalsolvers_tpu.ops.two_loop import (
+        push_history_xla,
+        push_two_loop_pallas_batched,
+    )
+
+    args = _random_push_case(7, b=11, m=6, n=37)
+
+    def one(g, s, y, c, ga, sn, yn, v):
+        s2, y2, c2, ga2 = push_history_xla(s, y, c, ga, sn, yn, v)
+        d = two_loop_direction_xla(g, s2, y2, c2, ga2, None)
+        return d, s2, y2, c2, ga2
+
+    want = jax.vmap(one)(*args)
+    got = push_two_loop_pallas_batched(*args, interpret=True)
+    for w, g_, name in zip(
+        want, got, ("direction", "s_memory", "y_memory", "count", "gamma")
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g_), np.asarray(w), rtol=1e-12, err_msg=name
+        )
+
+
+def test_fused_op_custom_vmap_matches_single():
+    """vmap of the public fused op agrees with per-instance calls."""
+    from cppnumericalsolvers_tpu.ops.two_loop import lbfgs_push_and_direction
+
+    args = _random_push_case(11, b=5, m=4, n=9)
+    batched = jax.vmap(lbfgs_push_and_direction)(*args)
+    for i in range(5):
+        single = lbfgs_push_and_direction(*[a[i] for a in args])
+        for bo, so, name in zip(
+            batched, single, ("direction", "s_memory", "y_memory", "count", "gamma")
+        ):
+            np.testing.assert_allclose(
+                np.asarray(bo[i]), np.asarray(so), rtol=1e-12, err_msg=name
+            )

@@ -23,10 +23,18 @@ requires_tpu = pytest.mark.skipif(
 
 
 def _random_case(b, m, n, seed, dtype=np.float32):
+    """Curvature-conditioned random histories: y = s + 0.3*noise keeps
+    s.y ~ |s|^2 bounded away from zero, so rho = 1/(s.y) cannot amplify f32
+    rounding into the comparison (independent random (s, y) produce
+    near-cancelling s.y with |rho| up to 1e4 and turn the oracle check into
+    a test of float noise instead of lowering).  A sprinkle of near-zero-y
+    rows still exercises the |s.y| < eps usability mask."""
     rng = np.random.default_rng(seed)
     g = rng.standard_normal((b, n)).astype(dtype)
     s = rng.standard_normal((b, m, n)).astype(dtype) * 0.1
-    y = rng.standard_normal((b, m, n)).astype(dtype) * 0.1
+    y = (s + 0.3 * rng.standard_normal((b, m, n)) * 0.1).astype(dtype)
+    # A few rows with ~zero y: denom below eps => masked unusable.
+    y[rng.random((b, m)) < 0.1] = 0.0
     # Mixed history fill levels, incl. empty and full lanes.
     count = rng.integers(0, m + 1, size=(b,)).astype(np.int32)
     count[0] = 0
@@ -63,7 +71,10 @@ def test_pallas_matches_xla_oracle_on_tpu(b, m, n):
             jnp.asarray(count), jnp.asarray(gamma),
         )
     )
-    np.testing.assert_allclose(out_pallas, oracle, rtol=2e-5, atol=2e-5)
+    # Pallas (unrolled) and XLA (fori_loop) accumulate in different
+    # orders; with conditioned histories (bounded rho) f32 agreement is
+    # ~1e-5 relative.  Real lowering bugs (masking/indexing) are O(1).
+    np.testing.assert_allclose(out_pallas, oracle, rtol=2e-4, atol=2e-5)
 
 
 @requires_tpu
@@ -82,3 +93,51 @@ def test_pallas_zero_history_is_gamma_scaled_gradient():
         )
     )
     np.testing.assert_allclose(out, 2.5 * g, rtol=1e-6)
+
+
+def _random_fused_case(b, m, n, seed, dtype=np.float32):
+    g, s, y, count, gamma = _random_case(b, m, n, seed, dtype)
+    rng = np.random.default_rng(seed + 1)
+    s_new = (rng.standard_normal((b, n)) * 0.1).astype(dtype)
+    # Conditioned like the history rows (bounded rho for accepted pairs);
+    # negate some so the curvature gate rejects them.
+    y_new = (s_new + 0.3 * rng.standard_normal((b, n)) * 0.1).astype(dtype)
+    y_new[rng.random(b) < 0.3] *= -1.0
+    valid = rng.random(b) < 0.8
+    # Zero pending pair on a couple of lanes (first-iteration no-op case).
+    s_new[:2] = 0.0
+    y_new[:2] = 0.0
+    return g, s, y, count, gamma, s_new, y_new, valid
+
+
+@requires_tpu
+@pytest.mark.parametrize(
+    "b,m,n", [(8, 5, 4), (64, 10, 32), (128, 10, 33), (256, 10, 256)]
+)
+def test_fused_push_two_loop_matches_xla_oracle_on_tpu(b, m, n):
+    """The fused push+direction kernel's real Mosaic lowering vs the
+    composed XLA oracle — per-lane divergent counts, accepts, validity."""
+    from cppnumericalsolvers_tpu.ops.two_loop import (
+        push_history_xla,
+        push_two_loop_pallas_batched,
+    )
+
+    args = _random_fused_case(b, m, n, seed=b + n)
+    jargs = [jnp.asarray(a) for a in args]
+
+    got = push_two_loop_pallas_batched(*jargs, interpret=False)
+
+    def one(g, s, y, c, ga, sn, yn, v):
+        s2, y2, c2, ga2 = push_history_xla(s, y, c, ga, sn, yn, v)
+        d = two_loop_direction_xla(g, s2, y2, c2, ga2, None)
+        return d, s2, y2, c2, ga2
+
+    want = jax.jit(jax.vmap(one))(*jargs)
+    names = ("direction", "s_memory", "y_memory", "count", "gamma")
+    for w, g_, name in zip(want, got, names):
+        # Direction: f32 accumulation-order tolerance (see the two-loop
+        # oracle test above); state outputs are exact copies/selects.
+        rtol = 2e-4 if name == "direction" else 2e-5
+        np.testing.assert_allclose(
+            np.asarray(g_), np.asarray(w), rtol=rtol, atol=2e-5, err_msg=name
+        )
