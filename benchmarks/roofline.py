@@ -206,6 +206,53 @@ def measure_shape(batch, n, pipeline=16, profile_dir=None):
     }
 
 
+def measure_kernel_standalone(batch, n, m=M, k_lo=20, k_hi=220):
+    """Device time of the fused push+two-loop kernel alone at this shape,
+    via a scanned k-call chain contrast (same anti-jitter trick as the full
+    step).  Splitting step time into kernel vs rest names the bottleneck
+    quantitatively."""
+    from jax import lax
+
+    from cppnumericalsolvers_tpu.ops.two_loop import (
+        push_two_loop_pallas_batched,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(g, s, y, c, ga, sn, yn, v, k):
+        def body(carry, _):
+            g_, s_, y_, c_, ga_, sn_, yn_ = carry
+            d, s2, y2, c2, ga2 = push_two_loop_pallas_batched(
+                g_, s_, y_, c_, ga_, sn_, yn_, v
+            )
+            return (d, s2, y2, c2, ga2, d * 0.5, yn_), None
+
+        (d, *_), _ = lax.scan(body, (g, s, y, c, ga, sn, yn), None, length=k)
+        return jnp.sum(d)
+
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+    s = jnp.asarray(
+        rng.standard_normal((batch, m, n)).astype(np.float32) * 0.1
+    )
+    y = jnp.asarray(
+        s + 0.03 * rng.standard_normal((batch, m, n)).astype(np.float32)
+    )
+    c = jnp.full((batch,), m, jnp.int32)
+    ga = jnp.ones((batch,), jnp.float32)
+    sn = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32) * 0.1)
+    yn = jnp.asarray(
+        sn + 0.03 * rng.standard_normal((batch, n)).astype(np.float32)
+    )
+    v = jnp.ones((batch,), bool)
+    out = {}
+    for k in (k_lo, k_hi):
+        float(np.asarray(chain(g, s, y, c, ga, sn, yn, v, k)))
+        t0 = time.perf_counter()
+        float(np.asarray(chain(g, s, y, c, ga, sn, yn, v, k)))
+        out[k] = time.perf_counter() - t0
+    return (out[k_hi] - out[k_lo]) / (k_hi - k_lo)
+
+
 def analyze_shape(row, peak_gbps):
     bytes_total, parts = traffic_model_bytes(
         row["batch"], row["n"], row["nfev_per_iter"]
@@ -219,44 +266,71 @@ def analyze_shape(row, peak_gbps):
         row["hbm_utilization_pct"] = 100.0 * light / t
         # >=50% of the step spent moving modeled bytes => bandwidth-bound;
         # otherwise fixed per-op latency dominates (many small VPU ops in
-        # the while_loop body at small n).
-        row["bottleneck"] = (
-            "HBM bandwidth"
-            if row["hbm_utilization_pct"] >= 50.0
-            else "per-op latency (small per-op working sets)"
-        )
+        # the while_loop body at small n).  When the kernel split is
+        # available, name which half of the step binds.
+        if row["hbm_utilization_pct"] >= 50.0:
+            row["bottleneck"] = "HBM bandwidth"
+        elif row.get("kernel_pct_of_step", 0.0) >= 50.0:
+            row["bottleneck"] = "fused kernel (VPU/DMA issue rate)"
+        else:
+            row["bottleneck"] = (
+                "non-kernel loop body (per-op latency, small working sets)"
+            )
     return row
 
 
-def measure_model_sharded(n=4096, iters_lo=20, iters_hi=100, repeats=6):
+def measure_model_sharded(n=4096, iters_lo=50, iters_hi=400, reps=8):
     """Per-iteration time for ONE instance with x sharded over the model
     axis (parallel/model_sharded.py) on the available mesh.
 
     With a single real chip the mesh is 1-wide, so this measures the GSPMD
     path's per-chip overhead versus the fused single-chip kernel (the
     scaling behavior across mesh sizes is covered by benchmarks/scaling.py
-    on the virtual mesh and by tests/test_model_sharded.py)."""
+    on the virtual mesh and by tests/test_model_sharded.py).
+
+    All repeats run inside ONE jitted scan dispatch: a per-dispatch
+    measurement was observed to return a *negative* contrast — through the
+    remote-device tunnel each dispatch carries several ms of jitter, larger
+    than the whole single-instance iteration budget."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cppnumericalsolvers_tpu.core.driver import _solve_loop
     from cppnumericalsolvers_tpu.parallel import make_mesh
     from cppnumericalsolvers_tpu.parallel.model_sharded import (
-        minimize_model_sharded,
+        _force_xla_two_loop,
     )
 
     mesh = make_mesh(axis="model")
     obj = objective(ext_rosenbrock, mode="first")
-    solver = Lbfgs(m=M)
+    solver = _force_xla_two_loop(Lbfgs(m=M))
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.uniform(-2.0, 2.0, size=(n,)).astype(np.float32))
+    x0s = jnp.asarray(
+        rng.uniform(-2.0, 2.0, size=(reps, n)).astype(np.float32)
+    )
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(NamedSharding(mesh, P(None, "model")), None),
+    )
+    def scanned(x0s_, stopping_):
+        def body(carry, x0_):
+            state0 = obj.evaluate(x0_, nfev=0)
+            internals0 = solver.init(obj, state0)
+            r = _solve_loop(obj, solver, state0, internals0, stopping_, 0)
+            return carry, (r.progress.num_iterations, r.state.value)
+
+        _, (iters, values) = lax.scan(body, 0, x0s_)
+        return jnp.sum(iters), jnp.sum(values)
+
     out = {}
     for iters in (iters_lo, iters_hi):
         stopping = fixed_iteration_stopping(iters)
-        r = minimize_model_sharded(obj, x0, solver, stopping, mesh=mesh)
-        float(np.asarray(r.state.value))  # compile + sync
+        scanned(x0s, stopping)  # warm (one compile, shared across budgets)
         t0 = time.perf_counter()
-        total = 0.0
-        for _ in range(repeats):
-            r = minimize_model_sharded(obj, x0, solver, stopping, mesh=mesh)
-            total += float(np.asarray(r.progress.num_iterations))
-        out[iters] = (time.perf_counter() - t0, total)
+        total_iters, _ = scanned(x0s, stopping)
+        total_iters = float(np.asarray(total_iters))
+        out[iters] = (time.perf_counter() - t0, total_iters)
     (w1, i1), (w2, i2) = out[iters_lo], out[iters_hi]
     per_iter_s = (w2 - w1) / max(i2 - i1, 1.0)
     return {
@@ -298,16 +372,24 @@ def write_markdown(rows, peak_gbps, kind, path, sharded=None):
         "(methodology + traffic model in benchmarks/roofline.py).",
         "",
         "| B | n | us/iter (batched) | lane-iters/s | model MB/iter | "
-        "achieved GB/s | HBM util % | bottleneck |",
-        "|---|---|---|---|---|---|---|---|",
+        "achieved GB/s | HBM util % | kernel us (GB/s, % of step) | "
+        "bottleneck |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
+        kern = (
+            f"{r['kernel_us']:.0f} ({r['kernel_gbps']:.0f}, "
+            f"{r['kernel_pct_of_step']:.0f}%)"
+            if "kernel_us" in r
+            else "n/a"
+        )
         lines.append(
             f"| {r['batch']} | {r['n']} | {r['per_batched_iter_us']:.1f} | "
             f"{r['lane_iters_per_s']:.3g} | "
             f"{r['model_bytes_per_iter'] / 1e6:.2f} | "
             f"{r.get('achieved_gbps', float('nan')):.1f} | "
             f"{r.get('hbm_utilization_pct', float('nan')):.1f} | "
+            f"{kern} | "
             f"{r.get('bottleneck', 'n/a')} |"
         )
     if sharded:
@@ -327,14 +409,37 @@ def write_markdown(rows, peak_gbps, kind, path, sharded=None):
         "ops/two_loop.py), kernel vector i/o 4n, line search ~5n per "
         "objective evaluation, driver/progress ~12n.",
         "",
-        "The large-n shapes are HBM-bandwidth-bound: the fused kernel's "
-        "history traffic dominates and achieved bandwidth approaches the "
-        "hardware peak.  The small-n shapes are latency-bound: each of the "
-        "~dozens of O(Bn) VPU ops in the loop body moves too little data "
-        "to fill the memory pipeline; they amortize with batch (see the "
-        "B=8192 row) but per-op overhead, not bandwidth, sets the floor.",
-        "",
     ]
+    def shapes_of(key):
+        sel = [r for r in rows if r.get("bottleneck", "").startswith(key)]
+        return sel, ", ".join(f"({r['batch']},{r['n']})" for r in sel)
+
+    bw, bw_s = shapes_of("HBM")
+    kern, kern_s = shapes_of("fused kernel")
+    lat, lat_s = shapes_of("non-kernel")
+    if bw:
+        best = max(r["hbm_utilization_pct"] for r in bw)
+        lines.append(
+            f"Bandwidth-bound shapes ({bw_s}): the fused kernel's history "
+            f"traffic dominates; best achieved utilization {best:.0f}% of "
+            "peak HBM bandwidth."
+        )
+    if kern:
+        lines.append(
+            f"Kernel-bound shapes ({kern_s}): the fused push+two-loop "
+            "kernel is >=50% of the step but runs below the HBM roofline — "
+            "its 2m-step sequential reduction chain binds on VPU/DMA issue "
+            "rate rather than bandwidth at this shape."
+        )
+    if lat:
+        lines.append(
+            f"Latency-bound shapes ({lat_s}): the ~dozens of O(Bn) VPU ops "
+            "in the non-kernel while_loop body (line search, driver, "
+            "progress machine) each move too little data to fill the "
+            "memory pipeline, so fixed per-op overhead, not bandwidth, "
+            "sets the floor; it amortizes with batch size."
+        )
+    lines.append("")
     with open(path, "w") as fh:
         fh.write("\n".join(lines))
 
@@ -364,6 +469,14 @@ def main():
             )
             os.makedirs(profile_dir, exist_ok=True)
         row = measure_shape(batch, n, profile_dir=profile_dir)
+        kernel_s = measure_kernel_standalone(batch, n)
+        row["kernel_us"] = kernel_s * 1e6
+        row["kernel_pct_of_step"] = (
+            100.0 * kernel_s / (row["per_batched_iter_us"] * 1e-6)
+        )
+        # Kernel-only achieved bandwidth (history + its vector i/o).
+        kernel_bytes = batch * 4 * (4 * M * n + 4 * n)
+        row["kernel_gbps"] = kernel_bytes / kernel_s / 1e9
         rows.append(analyze_shape(row, peak))
         print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
 

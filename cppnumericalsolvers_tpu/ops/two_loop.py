@@ -107,16 +107,45 @@ def two_loop_direction_xla(
 
 _LANE = 128  # TPU lane width
 _SUBLANE = 8  # f32 sublane tile
-# Batch-tile sweep (B=1024, m=10, n=32, pipelined device time): 64→30.7,
-# 128→27.4, 256→32.3, 512→34.3 us/call.  At small n the kernel is
-# latency-bound (2m sequential loop steps of few-vreg VPU ops), so fewer,
-# fatter grid programs win; 128 sublanes balances that against VMEM
-# pressure at large n (the cap below shrinks the tile when needed).
-_TILE_B = 128
+# Hard tile cap.  v5e tile sweep (fused kernel, per-call device time via
+# scan contrast): at n=32 throughput keeps improving slowly with tile size
+# (128→75.2, 256→78.7, 512→80.2 GB/s at B=8192) — latency-bound, fatter
+# programs amortize fixed overhead; at n>=256 the VMEM budget below binds
+# first, so the cap only matters in the small-n regime.
+_TILE_B = 512
+# Per-program VMEM block budget for the fused push+two-loop kernel (S/Y
+# appear as both input and output blocks, so blocks alone are 4mn floats per
+# lane).  v5e sweep at n=1024: tiles capped here to 32 lanes run at 433
+# GB/s; 16 MiB (96 lanes) and beyond degrade or fail to compile outright
+# (the in+out blocks double-buffered plus unrolled-loop temporaries exceed
+# scoped VMEM).  Module-level so the roofline tile sweep can explore it.
+_VMEM_BLOCK_BUDGET = 8 << 20
 
 
 def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
+
+
+def _pick_tile_b(b: int, bytes_per_lane: int, budget: int) -> int:
+    """Largest sublane-multiple tile that (a) fits the VMEM block budget and
+    (b) DIVIDES the sublane-rounded batch.
+
+    (b) is the one that matters: a tile that doesn't divide the batch forces
+    a zero-padded copy of the whole (B, m, n) history in HBM before and a
+    slice after the kernel — measured on v5e at (B=1024, n=1024) this is a
+    3x throughput cliff (tile 32: 433 GB/s; tile 48, which pads 1024→1056:
+    146 GB/s).  Every power-of-two batch therefore gets a power-of-two tile;
+    odd batches fall back toward 8 (round_up(b,8) always has an 8-divisor).
+    """
+    b8 = _round_up(b, _SUBLANE)
+    cap = min(_TILE_B, max(_SUBLANE, budget // max(bytes_per_lane, 1)))
+    tb = _SUBLANE
+    t = _SUBLANE
+    while t <= cap and t <= b8:
+        if b8 % t == 0:
+            tb = t
+        t += _SUBLANE
+    return tb
 
 
 def _pltpu_compiler_params(pltpu, vmem_limit_bytes: int):
@@ -200,14 +229,12 @@ def two_loop_pallas_batched(
     # padding to 128 — the padded copies alone exceeded the kernel's dense
     # traffic).  Zero lanes leave every dot product unchanged.
     n_pad = _round_up(n, _SUBLANE)
-    # Cap the per-program VMEM footprint (S + Y blocks dominate) at ~2 MB:
-    # with double-buffered pipelining plus XLA sometimes homing the padded
-    # result tensor in VMEM, a 4 MB cap was observed to overflow the 16 MB
-    # scoped limit at (B=1024, n=1024).
+    # ~2 MB block budget (S + Y input blocks): with double-buffered
+    # pipelining plus XLA sometimes homing the padded result tensor in VMEM,
+    # a 4 MB cap was observed to overflow the 16 MB scoped limit at
+    # (B=1024, n=1024).  Tile must divide the batch — see _pick_tile_b.
     bytes_per_lane = 2 * m * n_pad * jnp.dtype(dtype).itemsize
-    vmem_cap_lanes = max(_SUBLANE, (2 << 20) // max(bytes_per_lane, 1))
-    tile_b = min(_TILE_B, (vmem_cap_lanes // _SUBLANE) * _SUBLANE)
-    tb = min(tile_b, _round_up(b, _SUBLANE))
+    tb = _pick_tile_b(b, bytes_per_lane, 2 << 20)
     b_pad = _round_up(b, tb)
 
     if n_pad == n:
@@ -453,17 +480,13 @@ def push_two_loop_pallas_batched(
 
     # Same padding policy as two_loop_pallas_batched (sublane quantum only).
     # The block budget accounts for S/Y appearing as both input AND output
-    # blocks (4 (m, n) blocks per lane).  8 MiB of blocks means ~3-4x that
-    # in total program VMEM once double buffering, unrolled-loop temporaries
-    # and XLA's own around-the-kernel scratch are counted — a 16 MiB budget
-    # (96 lanes at n=1024) was observed to blow the chip's 128 MiB VMEM
-    # whole-program, while minimum 8-lane tiles leave the kernel
-    # grid-overhead-bound; 8 MiB sits between.
+    # blocks (4 (m, n) blocks per lane); the tile must divide the batch
+    # (_pick_tile_b).  v5e sweep: this reproduces the best-of-sweep tile at
+    # every measured shape — 32 @ n=1024 (433 GB/s), 8 @ n=4096 (436),
+    # 128 @ n=256 (249), 512 @ n=32 (80, latency-bound).
     n_pad = _round_up(n, _SUBLANE)
     bytes_per_lane = 4 * m * n_pad * jnp.dtype(dtype).itemsize
-    vmem_cap_lanes = max(_SUBLANE, (8 << 20) // max(bytes_per_lane, 1))
-    tile_b = min(_TILE_B, (vmem_cap_lanes // _SUBLANE) * _SUBLANE)
-    tb = min(tile_b, _round_up(b, _SUBLANE))
+    tb = _pick_tile_b(b, bytes_per_lane, _VMEM_BLOCK_BUDGET)
     b_pad = _round_up(b, tb)
 
     if n_pad == n:
