@@ -81,6 +81,27 @@ class SolverBase:
     def init(self, objective: Objective, state: FunctionState) -> Any:
         raise NotImplementedError
 
+    def supports_fused_update(self, objective: Objective) -> bool:
+        """Whether :meth:`step_and_update` may replace the driver's generic
+        ``step`` + ``update_progress`` + freeze composition for this
+        objective.  Solvers that fuse the convergence machine into their hot
+        kernel (L-BFGS on the batched TPU path) return True; such solvers
+        must not rely on ``transform_stopping``/``post_update`` differing
+        from the generic semantics they fuse."""
+        del objective
+        return False
+
+    def step_and_update(
+        self,
+        objective: Objective,
+        state: FunctionState,
+        internals: Any,
+        progress: ProgressState,
+        stopping: StoppingCriteria,
+        done: jax.Array,
+    ) -> tuple[FunctionState, Any, ProgressState]:
+        raise NotImplementedError
+
     def step(
         self,
         objective: Objective,
@@ -131,12 +152,33 @@ def _solve_loop(
     stopping: StoppingCriteria,
     trace: int = 0,
     callback=None,
+    progress0: ProgressState | None = None,
+    compute_cond_h: bool = False,
 ) -> MinimizeResult:
+    """The one driver loop body, shared by fresh solves and :func:`resume`
+    (``progress0`` carries a checkpoint's counters/ring so the resumed
+    trajectory is exactly the uninterrupted one).
+
+    ``compute_cond_h`` makes the Hessian-condition criterion
+    solver-independent: the reference evaluates cond(H) inside
+    ``Progress::Update`` for *every* second-mode function regardless of
+    solver (progress.h:203-210), paying one extra Hessian evaluation per
+    iteration.  Solvers that already materialise H (Newton, TrustRegion)
+    expose cond(H) through their internals and pay nothing extra; for any
+    other solver the driver evaluates it here when the criterion is enabled
+    (billed as +1 nfev per iteration, mirroring the reference's extra call).
+    """
     stopping_inner = solver.transform_stopping(stopping)
     # Solvers may force derivative-free progress semantics (NelderMead: the
     # reference instantiates Progress over a value-only state, so no
     # gradient-norm test applies).
     progress_mode = getattr(solver, "progress_mode", None) or objective.mode
+    # Fused hot path: the solver folds step + convergence machine + done-lane
+    # freezing into its own kernels (L-BFGS on the batched TPU path).  The
+    # driver-side cond(H) evaluation is generic-path only.
+    use_fused = (not compute_cond_h) and solver.supports_fused_update(
+        objective
+    )
 
     def cond(carry):
         _, _, progress, _ = carry
@@ -147,31 +189,42 @@ def _solve_loop(
         # Freeze converged lanes (no-op for an unbatched solve, where the
         # loop predicate guarantees status == CONTINUE here).
         done = progress.status != int(Status.CONTINUE)
-        if solver.freeze_in_step:
-            # The solver freezes its own internals (fused into its hot
-            # kernel); the driver selects only the small state/progress.
-            new_state, new_internals = solver.step(
-                objective, state, internals, stopping_inner, done=done
+        if use_fused:
+            new_state, new_internals, new_progress = solver.step_and_update(
+                objective, state, internals, progress, stopping_inner, done
             )
         else:
-            new_state, new_internals = solver.step(
-                objective, state, internals, stopping_inner
-            )
-        new_progress = update_progress(
-            progress, state, new_state, stopping_inner, mode=progress_mode,
+            if solver.freeze_in_step:
+                # The solver freezes its own internals (fused into its hot
+                # kernel); the driver selects only the small state/progress.
+                new_state, new_internals = solver.step(
+                    objective, state, internals, stopping_inner, done=done
+                )
+            else:
+                new_state, new_internals = solver.step(
+                    objective, state, internals, stopping_inner
+                )
             # Solvers that materialise the Hessian (Newton, TrustRegion)
             # expose cond(H) through their internals so the
-            # HessianConditionViolation test (progress.h:197-208) is live.
-            condition_hessian=getattr(
-                new_internals, "condition_hessian", None
-            ),
-        )
-        new_progress = solver.post_update(
-            objective, new_state, new_internals, new_progress, stopping
-        )
-        if solver.freeze_in_step:
-            new_state = tree_where(done, state, new_state)
-            new_progress = tree_where(done, progress, new_progress)
+            # HessianConditionViolation test (progress.h:197-208) is live;
+            # otherwise the driver evaluates it for second-mode objectives
+            # when requested (see docstring).
+            cond_h = getattr(new_internals, "condition_hessian", None)
+            if cond_h is None and compute_cond_h and objective.mode == "second":
+                from ..utils.linalg import frobenius_condition
+
+                cond_h = frobenius_condition(objective.hessian(new_state.x))
+                new_state = new_state._replace(nfev=new_state.nfev + 1)
+            new_progress = update_progress(
+                progress, state, new_state, stopping_inner,
+                mode=progress_mode, condition_hessian=cond_h,
+            )
+            new_progress = solver.post_update(
+                objective, new_state, new_internals, new_progress, stopping
+            )
+            if solver.freeze_in_step:
+                new_state = tree_where(done, state, new_state)
+                new_progress = tree_where(done, progress, new_progress)
         if trace_buf is not None:
             # On the freeze_in_step path the (state, progress) here are
             # already frozen: a done lane re-records its existing entry at
@@ -191,12 +244,13 @@ def _solve_loop(
                     "status": new_progress.status,
                 },
             )
-        if solver.freeze_in_step:
+        if use_fused or solver.freeze_in_step:
             return (new_state, new_internals, new_progress, trace_buf)
         new_carry = (new_state, new_internals, new_progress, trace_buf)
         return tree_where(done, carry, new_carry)
 
-    progress0 = init_progress(state0.value.dtype)
+    if progress0 is None:
+        progress0 = init_progress(state0.value.dtype)
     trace0 = init_trace(trace, state0.value.dtype) if trace > 0 else None
     state, internals, progress, trace_out = lax.while_loop(
         cond, body, (state0, internals0, progress0, trace0)
@@ -207,32 +261,60 @@ def _solve_loop(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("objective", "solver", "trace", "callback")
+    jax.jit,
+    static_argnames=("objective", "solver", "trace", "callback",
+                     "compute_cond_h"),
 )
 def _solve_one_jit(
-    objective, x0, solver, stopping, trace=0, callback=None, internals=None
+    objective, x0, solver, stopping, trace=0, callback=None, internals=None,
+    compute_cond_h=False,
 ):
     state0 = objective.evaluate(x0, nfev=0)
     internals0 = solver.init(objective, state0) if internals is None else internals
     return _solve_loop(
-        objective, solver, state0, internals0, stopping, trace, callback
+        objective, solver, state0, internals0, stopping, trace, callback,
+        compute_cond_h=compute_cond_h,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("objective", "solver", "trace")
+    jax.jit, static_argnames=("objective", "solver", "trace", "compute_cond_h")
 )
 def _solve_batched_jit(objective, x0_batch, solver, stopping, trace=0,
-                       internals=None):
+                       internals=None, compute_cond_h=False):
     if internals is None:
         return jax.vmap(
-            lambda x0: _solve_one_jit(objective, x0, solver, stopping, trace)
+            lambda x0: _solve_one_jit(
+                objective, x0, solver, stopping, trace,
+                compute_cond_h=compute_cond_h,
+            )
         )(x0_batch)
     return jax.vmap(
         lambda x0, ints: _solve_one_jit(
-            objective, x0, solver, stopping, trace, internals=ints
+            objective, x0, solver, stopping, trace, internals=ints,
+            compute_cond_h=compute_cond_h,
         )
     )(x0_batch, internals)
+
+
+def _wants_driver_cond_h(objective: Objective, stopping: StoppingCriteria) -> bool:
+    """Trace-time decision for the solver-independent Hessian-condition test.
+
+    The reference computes cond(H) for every second-mode function on every
+    ``Progress::Update`` (progress.h:203-210).  Paying a Hessian evaluation
+    per iteration when the criterion is disabled (the default:
+    ``condition_hessian == 0``) would be pure waste, so the driver computes
+    it only when the concrete criterion is enabled.  If the criteria are
+    traced values (a solve built inside a larger jit), the decision falls
+    back to the reference's unconditional behaviour for second-mode
+    objectives.
+    """
+    if objective.mode != "second":
+        return False
+    try:
+        return bool(stopping.condition_hessian > 0)
+    except jax.errors.TracerBoolConversionError:
+        return True
 
 
 def minimize(
@@ -262,7 +344,8 @@ def minimize(
     if stopping is None:
         stopping = solver.default_stopping(x0.dtype)
     return _solve_one_jit(
-        objective, x0, solver, stopping, trace, callback, internals
+        objective, x0, solver, stopping, trace, callback, internals,
+        compute_cond_h=_wants_driver_cond_h(objective, stopping),
     )
 
 
@@ -293,78 +376,30 @@ def minimize_batched(
     if stopping is None:
         stopping = solver.default_stopping(x0_batch.dtype)
     return _solve_batched_jit(
-        objective, x0_batch, solver, stopping, trace, internals
+        objective, x0_batch, solver, stopping, trace, internals,
+        compute_cond_h=_wants_driver_cond_h(objective, stopping),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("objective", "solver", "trace", "callback")
+    jax.jit,
+    static_argnames=("objective", "solver", "trace", "callback",
+                     "compute_cond_h"),
 )
 def _resume_jit(
     objective, state, internals, progress, solver, stopping, trace=0,
-    callback=None,
+    callback=None, compute_cond_h=False,
 ):
     # Re-open the stopping machine: clear the terminal status but keep every
     # counter (violation counts, plateau ring, num_iterations) so the resumed
-    # trajectory is exactly the uninterrupted one.
+    # trajectory is exactly the uninterrupted one — then run the SAME loop
+    # body as a fresh solve (one body, no drift).
     progress = progress._replace(
         status=jnp.asarray(int(Status.CONTINUE), jnp.int32)
     )
-    stopping_inner = solver.transform_stopping(stopping)
-    progress_mode = getattr(solver, "progress_mode", None) or objective.mode
-
-    def cond(carry):
-        _, _, p, _ = carry
-        return p.status == int(Status.CONTINUE)
-
-    def body(carry):
-        st, ints, p, tb = carry
-        done = p.status != int(Status.CONTINUE)
-        if solver.freeze_in_step:
-            new_state, new_internals = solver.step(
-                objective, st, ints, stopping_inner, done=done
-            )
-        else:
-            new_state, new_internals = solver.step(
-                objective, st, ints, stopping_inner
-            )
-        new_p = update_progress(
-            p, st, new_state, stopping_inner, mode=progress_mode,
-            condition_hessian=getattr(
-                new_internals, "condition_hessian", None
-            ),
-        )
-        new_p = solver.post_update(
-            objective, new_state, new_internals, new_p, stopping
-        )
-        if solver.freeze_in_step:
-            new_state = tree_where(done, st, new_state)
-            new_p = tree_where(done, p, new_p)
-        if tb is not None:
-            tb = record_trace(tb, new_p, new_state)
-        if callback is not None:
-            jax.debug.callback(
-                callback,
-                {
-                    "num_iterations": new_p.num_iterations,
-                    "value": new_state.value,
-                    "gradient_norm": jnp.max(jnp.abs(new_state.gradient)),
-                    "x_delta": new_p.x_delta,
-                    "f_delta": new_p.f_delta,
-                    "status": new_p.status,
-                },
-            )
-        if solver.freeze_in_step:
-            return (new_state, new_internals, new_p, tb)
-        new_carry = (new_state, new_internals, new_p, tb)
-        return tree_where(done, carry, new_carry)
-
-    trace0 = init_trace(trace, state.value.dtype) if trace > 0 else None
-    state, internals, progress, trace_out = lax.while_loop(
-        cond, body, (state, internals, progress, trace0)
-    )
-    return MinimizeResult(
-        state=state, progress=progress, internals=internals, trace=trace_out
+    return _solve_loop(
+        objective, solver, state, internals, stopping, trace, callback,
+        progress0=progress, compute_cond_h=compute_cond_h,
     )
 
 
@@ -399,4 +434,5 @@ def resume(
         stopping,
         trace,
         callback,
+        compute_cond_h=_wants_driver_cond_h(objective, stopping),
     )

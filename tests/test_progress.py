@@ -219,3 +219,38 @@ class TestConstrainedBranch:
         )
         p = self._update(1e-6, 1e3, c)
         assert int(p.status) == int(Status.FINISHED)
+
+
+def test_hessian_condition_solver_independent_lbfgs():
+    # The reference computes cond(H) inside Progress::Update for EVERY
+    # second-mode function regardless of solver (progress.h:203-210) — an
+    # L-BFGS solve of a second-mode objective with condition_hessian set
+    # must fire the criterion even though Lbfgs never materialises H.  The
+    # driver evaluates it (billed +1 nfev/iteration, the reference's extra
+    # Hessian call).
+    import jax.numpy as jnp
+
+    from cppnumericalsolvers_tpu import minimize, objective
+    from cppnumericalsolvers_tpu.solvers import Lbfgs
+
+    def ill_conditioned(x):
+        return 0.5 * (x[0] ** 2 + 1e8 * x[1] ** 2)
+
+    obj = objective(ill_conditioned, mode="second")
+    c = default_stopping(jnp.float64).replace(condition_hessian=1e4)
+    res = minimize(obj, jnp.array([1.0, 1.0]), Lbfgs(), c)
+    assert int(res.progress.status) == int(Status.HESSIAN_CONDITION_VIOLATION)
+    assert float(res.progress.condition_hessian) > 1e4
+
+    # With the criterion disabled (default 0) the driver must NOT pay the
+    # per-iteration Hessian evaluation: nfev identical to a first-mode solve.
+    res_off = minimize(obj, jnp.array([1.0, 1.0]), Lbfgs())
+    res_first = minimize(
+        objective(ill_conditioned, mode="first"),
+        jnp.array([1.0, 1.0]),
+        Lbfgs(),
+    )
+    assert int(res_off.state.nfev) == int(res_first.state.nfev)
+    assert int(res_off.progress.status) != int(
+        Status.HESSIAN_CONDITION_VIOLATION
+    )
