@@ -47,11 +47,17 @@ def run_line_search(
     direction: jax.Array,
     alpha_init,
     max_fev: int = 20,
+    dginit: jax.Array | None = None,
 ) -> LineSearchResult:
-    """Run the named search along ``direction`` from a populated start."""
+    """Run the named search along ``direction`` from a populated start.
+
+    ``dginit`` optionally supplies the precomputed ``vdot(g0, direction)``
+    (consumed by More-Thuente; the other searches compute their own).
+    """
     if method == "more_thuente":
         r = more_thuente(
-            value_and_grad, x0, f0, g0, direction, alpha_init, max_fev=max_fev
+            value_and_grad, x0, f0, g0, direction, alpha_init,
+            max_fev=max_fev, dginit=dginit,
         )
         return LineSearchResult(x=r.x, f=r.f, g=r.g, alpha=r.alpha, nfev=r.nfev)
     if method == "hager_zhang":

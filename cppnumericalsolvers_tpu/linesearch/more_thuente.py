@@ -257,6 +257,7 @@ def more_thuente(
     direction: jax.Array,
     alpha_init,
     max_fev: int = DEFAULT_MAX_FEV,
+    dginit: jax.Array | None = None,
 ) -> MoreThuenteResult:
     """Strong-Wolfe search along ``direction`` from a populated start.
 
@@ -265,10 +266,15 @@ def more_thuente(
     non-descent ``direction`` returns the start unchanged, matching the C++
     early return.  One objective evaluation per loop iteration; the result's
     ``(x, f, g)`` come from the final internal evaluation.
+
+    ``dginit`` optionally supplies the precomputed directional derivative
+    ``vdot(g0, direction)`` — the fused L-BFGS prologue kernel emits it with
+    the direction (ops/fused_step.py), sparing one O(n) reduction here.
     """
     dtype = jnp.result_type(f0)
     s = direction
-    dginit = jnp.vdot(g0, s)
+    if dginit is None:
+        dginit = jnp.vdot(g0, s)
     no_descent = dginit >= 0.0
 
     finit = f0

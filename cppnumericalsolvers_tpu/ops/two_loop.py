@@ -121,6 +121,45 @@ _TILE_B = 512
 # scoped VMEM).  Module-level so the roofline tile sweep can explore it.
 _VMEM_BLOCK_BUDGET = 8 << 20
 
+# Physical VMEM per core by device kind (bytes).  Every production TPU since
+# v4 carries 128 MiB; the per-kernel scoped cap below requests half of it.
+# Unknown/older kinds (v2/v3: 16 MiB) fall back to the Mosaic default cap so
+# the kernel degrades to smaller tiles instead of failing to compile
+# (advisor round-2: don't hard-require v5e's VMEM on other generations).
+_PHYSICAL_VMEM = {
+    "TPU v4": 128 << 20,
+    "TPU v5 lite": 128 << 20,
+    "TPU v5e": 128 << 20,
+    "TPU v5": 128 << 20,
+    "TPU v5p": 128 << 20,
+    "TPU v6 lite": 128 << 20,
+    "TPU v6e": 128 << 20,
+    "TPU7x": 128 << 20,
+}
+
+
+def _vmem_limit_bytes(default_fraction: float = 0.5) -> int | None:
+    """Per-kernel scoped-VMEM cap for the current device, or None to keep
+    the compiler default (16 MiB) on kinds with unknown physical VMEM."""
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:  # uninitialised backend — stay conservative
+        return None
+    phys = _PHYSICAL_VMEM.get(kind)
+    if phys is None:
+        return None
+    return int(phys * default_fraction)
+
+
+def _scoped_vmem_budget() -> int:
+    """Block-tile budget consistent with the scoped cap: when the device
+    VMEM is unknown the Mosaic default (16 MiB) binds, so tiles must leave
+    room for double-buffered in+out blocks plus temporaries within it."""
+    limit = _vmem_limit_bytes()
+    if limit is None:
+        return min(_VMEM_BLOCK_BUDGET, 2 << 20)
+    return _VMEM_BLOCK_BUDGET
+
 
 def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
@@ -136,6 +175,16 @@ def _pick_tile_b(b: int, bytes_per_lane: int, budget: int) -> int:
     3x throughput cliff (tile 32: 433 GB/s; tile 48, which pads 1024→1056:
     146 GB/s).  Every power-of-two batch therefore gets a power-of-two tile;
     odd batches fall back toward 8 (round_up(b,8) always has an 8-divisor).
+
+    Caveat (advisor round-2): a batch with no rich divisor structure (e.g.
+    B=1016 = 8·127) lands on tile 8 and, at small n where throughput climbs
+    with tile size, runs several times below the best power-of-two batch.
+    Padding to a non-dividing tile is not the cure — the padded history copy
+    costs more bandwidth than the kernel saves (the measured cliff above);
+    at large n tile 8 already runs at full kernel bandwidth (436 GB/s at
+    n=4096).  Contract, documented in the README perf notes: pick batch
+    sizes with a power-of-two factor (ideally a multiple of 128) for
+    small-n workloads.
     """
     b8 = _round_up(b, _SUBLANE)
     cap = min(_TILE_B, max(_SUBLANE, budget // max(bytes_per_lane, 1)))
@@ -148,11 +197,14 @@ def _pick_tile_b(b: int, bytes_per_lane: int, budget: int) -> int:
     return tb
 
 
-def _pltpu_compiler_params(pltpu, vmem_limit_bytes: int):
-    """CompilerParams across jax versions (TPUCompilerParams pre-0.8)."""
+def _pltpu_compiler_params(pltpu, vmem_limit_bytes: int | None):
+    """CompilerParams across jax versions (TPUCompilerParams pre-0.8).
+    ``None`` keeps the compiler's default scoped-VMEM cap."""
     cls = getattr(pltpu, "CompilerParams", None) or getattr(
         pltpu, "TPUCompilerParams"
     )
+    if vmem_limit_bytes is None:
+        return cls()
     return cls(vmem_limit_bytes=vmem_limit_bytes)
 
 
@@ -373,22 +425,21 @@ def push_history_xla(s_memory, y_memory, mem_count, gamma, s_new, y_new, valid):
     return s_out, y_out, count_out, gamma_out
 
 
-def _push_two_loop_kernel(
-    g_ref, s_ref, y_ref, count_ref, gamma_ref, snew_ref, ynew_ref, valid_ref,
-    d_ref, s_out_ref, y_out_ref, count_out_ref, gamma_out_ref,
+def _push_two_loop_core(
+    g, count, gamma, valid, s_new, y_new,
+    s_ref, y_ref, s_out_ref, y_out_ref,
 ):
-    """One (TB, m, n) block: history push, then both two-loop passes, all in
-    a single VMEM residency.  Per-lane divergence (accept / slot / count) is
-    vector masks; every lane runs the same static m-trip loops."""
+    """Shared VMEM-resident body: curvature-gated history push streamed into
+    the output refs, then both two-loop passes on the updated history.
+    ``g``/``s_new``/``y_new`` are loaded (TB, n) values; ``count``/``gamma``/
+    ``valid`` are (TB, 1).  Returns ``(q, new_count, new_gamma)``.
+
+    Used by the fused push+two-loop kernel and by the full L-BFGS prologue
+    kernel (ops/fused_step.py) which additionally folds the direction-
+    validity fallback and line-search setup into the same residency."""
     m = s_ref.shape[1]
-    g = g_ref[:]  # (TB, n)
     dtype = g.dtype
     eps = jnp.finfo(dtype).eps
-    count = count_ref[:]  # (TB, 1) int32
-    gamma = gamma_ref[:]  # (TB, 1)
-    valid = valid_ref[:] != 0  # (TB, 1)
-    s_new = snew_ref[:]  # (TB, n)
-    y_new = ynew_ref[:]
 
     sy = jnp.sum(s_new * y_new, axis=-1, keepdims=True)
     s2 = jnp.sum(s_new * s_new, axis=-1, keepdims=True)
@@ -454,6 +505,20 @@ def _push_two_loop_kernel(
         beta = rho * jnp.sum(y_r * q, axis=-1, keepdims=True)
         q = jnp.where(usable, q + s_r * (alphas[r] - beta), q)
 
+    return q, new_count, new_gamma
+
+
+def _push_two_loop_kernel(
+    g_ref, s_ref, y_ref, count_ref, gamma_ref, snew_ref, ynew_ref, valid_ref,
+    d_ref, s_out_ref, y_out_ref, count_out_ref, gamma_out_ref,
+):
+    """One (TB, m, n) block: history push, then both two-loop passes, all in
+    a single VMEM residency.  Per-lane divergence (accept / slot / count) is
+    vector masks; every lane runs the same static m-trip loops."""
+    q, new_count, new_gamma = _push_two_loop_core(
+        g_ref[:], count_ref[:], gamma_ref[:], valid_ref[:] != 0,
+        snew_ref[:], ynew_ref[:], s_ref, y_ref, s_out_ref, y_out_ref,
+    )
     d_ref[:] = q
     count_out_ref[:] = new_count
     gamma_out_ref[:] = new_gamma
@@ -486,7 +551,7 @@ def push_two_loop_pallas_batched(
     # 128 @ n=256 (249), 512 @ n=32 (80, latency-bound).
     n_pad = _round_up(n, _SUBLANE)
     bytes_per_lane = 4 * m * n_pad * jnp.dtype(dtype).itemsize
-    tb = _pick_tile_b(b, bytes_per_lane, _VMEM_BLOCK_BUDGET)
+    tb = _pick_tile_b(b, bytes_per_lane, _scoped_vmem_budget())
     b_pad = _round_up(b, tb)
 
     if n_pad == n:
@@ -552,10 +617,12 @@ def push_two_loop_pallas_batched(
         input_output_aliases={1: 1, 2: 2},
         # In+out S/Y blocks double-buffered plus unrolled-loop temporaries
         # exceed the compiler's default 16 MiB scoped-VMEM cap at large n
-        # even at the minimum 8-lane tile (observed 16.54M at n=4096); v5e
-        # has 128 MiB physical VMEM, so raise the per-kernel cap instead of
-        # spilling to a slower lowering.
-        compiler_params=_pltpu_compiler_params(pltpu, 64 * 1024 * 1024),
+        # even at the minimum 8-lane tile (observed 16.54M at n=4096);
+        # production TPUs carry 128 MiB physical VMEM, so raise the
+        # per-kernel cap (half of physical, per device kind) instead of
+        # spilling to a slower lowering; unknown kinds keep the default cap
+        # with a matching smaller tile budget.
+        compiler_params=_pltpu_compiler_params(pltpu, _vmem_limit_bytes()),
         interpret=interpret,
     )(g, s, y, cnt, gam, sn, yn, vld)
     return (

@@ -110,7 +110,17 @@ class AugmentedLagrangian:
         penalty=0.0,
         stopping: StoppingCriteria | None = None,
         inner_stopping: StoppingCriteria | None = None,
+        inner_internals=None,
     ) -> AlResult:
+        """``inner_internals`` optionally supplies the inner solver's runtime
+        state for every inner solve — the analog of the reference AL picking
+        up whatever bounds its inner solver instance holds (lbfgsb.h:124-130
+        via augmented_lagrangian.h:347-353): pass
+        ``Lbfgsb.make_internals(n, dtype, lower, upper)`` for runtime boxes.
+        The projected-KKT norm (:577-604) then projects onto those same
+        bounds.  Each outer iteration re-seeds the inner solve from this
+        pytree (fresh history, same bounds), matching the reference's
+        clone-per-outer-iteration."""
         x0 = jnp.asarray(x0)
         dtype = x0.dtype
         if multipliers is None:
@@ -133,7 +143,7 @@ class AugmentedLagrangian:
             nfev=jnp.zeros((), jnp.int32),
         )
         return _al_minimize_jit(
-            self, problem, state0, stopping, inner_stopping
+            self, problem, state0, stopping, inner_stopping, inner_internals
         )
 
     def minimize_batched(
@@ -142,13 +152,27 @@ class AugmentedLagrangian:
         x0_batch: jax.Array,
         stopping: StoppingCriteria | None = None,
         inner_stopping: StoppingCriteria | None = None,
+        inner_internals=None,
     ) -> AlResult:
-        """Batch of starts, vmapped with per-lane convergence freezing."""
+        """Batch of starts, vmapped with per-lane convergence freezing.
+
+        ``inner_internals`` (optional) carries a leading batch axis — e.g.
+        per-lane heterogeneous L-BFGS-B boxes built with ``jax.vmap(lambda
+        lo, up: solver.make_internals(n, dtype, lo, up))(lo_batch,
+        up_batch)``."""
+        if inner_internals is None:
+            return jax.vmap(
+                lambda x0: self.minimize(
+                    problem, x0, stopping=stopping,
+                    inner_stopping=inner_stopping,
+                )
+            )(jnp.asarray(x0_batch))
         return jax.vmap(
-            lambda x0: self.minimize(
-                problem, x0, stopping=stopping, inner_stopping=inner_stopping
+            lambda x0, ints: self.minimize(
+                problem, x0, stopping=stopping,
+                inner_stopping=inner_stopping, inner_internals=ints,
             )
-        )(jnp.asarray(x0_batch))
+        )(jnp.asarray(x0_batch), inner_internals)
 
     # -- internals -----------------------------------------------------------
 
@@ -184,10 +208,13 @@ class AugmentedLagrangian:
         clamped = jnp.clip(candidate, 0.0, self.multiplier_max)
         return jnp.where(jnp.isfinite(candidate), clamped, 0.0)
 
-    def _kkt_norm(self, problem, x, multipliers):
+    def _kkt_norm(self, problem, x, multipliers, bounds=None):
         """Projected Lagrangian-gradient sup-norm when the inner solver is
-        box-constrained (:577-604)."""
+        box-constrained (:577-604).  ``bounds`` overrides the config boxes
+        with the runtime per-solve ones (from ``inner_internals``)."""
         grad_l = lagrangian_gradient(problem, x, multipliers)
+        if bounds is not None:
+            return projected_gradient_inf_norm(x, grad_l, *bounds)
         if isinstance(self.inner_solver, Lbfgsb):
             n = x.shape[-1]
             lower, upper = self.inner_solver._bounds(n, x.dtype)
@@ -202,10 +229,17 @@ def _al_minimize_jit(
     state0: AugmentedLagrangeState,
     stopping: StoppingCriteria,
     inner_stopping: StoppingCriteria,
+    inner_internals=None,
 ) -> AlResult:
     dtype = state0.x.dtype
     inner = al.inner_solver
     has_general = problem.has_general_constraints
+    # Runtime boxes from the supplied internals flow into the projected-KKT
+    # measurement (the reference's SFINAE pickup of the inner Lbfgsb's
+    # current bounds, augmented_lagrangian.h:44-61 + lbfgsb.h:124-130).
+    runtime_bounds = None
+    if inner_internals is not None and hasattr(inner_internals, "lower"):
+        runtime_bounds = (inner_internals.lower, inner_internals.upper)
 
     tracker0 = _BestTracker(
         recorded=jnp.zeros((), jnp.bool_),
@@ -262,7 +296,11 @@ def _al_minimize_jit(
                 ),
             )
         inner_state0 = composite.evaluate(state.x, nfev=0)
-        inner_internals0 = inner.init(composite, inner_state0)
+        inner_internals0 = (
+            inner.init(composite, inner_state0)
+            if inner_internals is None
+            else inner_internals
+        )
         inner_res = _solve_loop(
             composite, inner, inner_state0, inner_internals0, inner_stop
         )
@@ -292,7 +330,7 @@ def _al_minimize_jit(
         new_multipliers = MultiplierState(equality=lam, inequality=mu)
 
         # --- Step 5: KKT stationarity (:389-409) ---
-        kkt = al._kkt_norm(problem, x_new, new_multipliers)
+        kkt = al._kkt_norm(problem, x_new, new_multipliers, runtime_bounds)
 
         # --- Step 6: Pareto best-iterate tracking (:412-426, :656-701);
         # recorded with the pre-growth penalty. ---

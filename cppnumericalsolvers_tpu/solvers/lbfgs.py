@@ -97,6 +97,74 @@ class Lbfgs(SolverBase):
         default=True, init=False, repr=False
     )
 
+    def supports_fused_update(self, objective: Objective) -> bool:
+        """The fused prologue/epilogue path (ops/fused_step.py) covers every
+        configuration except the Hessian preconditioner (needs an extra
+        objective transform mid-step) and the forced pure-XLA lowering used
+        under GSPMD sharding."""
+        del objective
+        return self.two_loop_impl == "auto" and not self.use_hessian_preconditioner
+
+    def step_and_update(
+        self,
+        objective: Objective,
+        state: FunctionState,
+        internals: LbfgsInternals,
+        progress,
+        stopping: StoppingCriteria,
+        done: jax.Array,
+    ):
+        """One full L-BFGS iteration with the convergence machine fused in:
+        prologue kernel -> line search (objective evals) -> epilogue kernel.
+        Semantically identical to ``step`` + ``update_progress`` + lane
+        freezing — the ops' un-batched/XLA forms are that exact composition
+        (see ops/fused_step.py) — but the batched TPU path runs as two
+        Pallas kernels instead of ~50 dispatches per iteration."""
+        from ..ops.fused_step import lbfgs_epilogue, lbfgs_prologue
+
+        ls_dir, alpha_init, dginit, s_mem, y_mem, count, gamma = (
+            lbfgs_prologue(
+                state.x,
+                state.gradient,
+                internals.s_memory,
+                internals.y_memory,
+                internals.mem_count,
+                internals.gamma,
+                internals.s_pending,
+                internals.y_pending,
+                internals.pending_valid,
+                done,
+            )
+        )
+        ls = run_line_search(
+            self.line_search,
+            objective.value_and_grad,
+            state.x,
+            state.value,
+            state.gradient,
+            ls_dir,
+            alpha_init,
+            max_fev=self.max_linesearch_fev,
+            dginit=dginit,
+        )
+        new_state, s_pend, y_pend, pvalid, count_out, new_progress = (
+            lbfgs_epilogue(
+                state, ls.x, ls.f, ls.g, ls.nfev, count,
+                internals.s_pending, internals.y_pending,
+                internals.pending_valid, done, progress, stopping,
+            )
+        )
+        new_internals = LbfgsInternals(
+            s_memory=s_mem,
+            y_memory=y_mem,
+            mem_count=count_out,
+            gamma=gamma,
+            s_pending=s_pend,
+            y_pending=y_pend,
+            pending_valid=pvalid,
+        )
+        return new_state, new_internals, new_progress
+
     def init(self, objective: Objective, state: FunctionState) -> LbfgsInternals:
         n = state.x.shape[-1]
         dtype = state.x.dtype

@@ -53,3 +53,63 @@ def test_batched_al_matches_sequential():
         np.full(4, 0.5),
         atol=1e-3,
     )
+
+
+def test_al_runtime_per_lane_bounds():
+    # The reference's AL picks up whatever bounds the inner L-BFGS-B holds
+    # (lbfgsb.h:124-130 via augmented_lagrangian.h:347-353) and projects the
+    # KKT norm onto them (:577-604).  Here: per-lane runtime boxes via
+    # inner_internals — min x0+x1 on the circle with a per-lane floor
+    # lower >= floor_k pushing the box-constrained optimum off (-1,-1).
+    import jax
+
+    from cppnumericalsolvers_tpu.solvers import Lbfgsb
+
+    problem = _circle_problem()
+    inner = Lbfgsb()  # config bounds: unbounded
+    al = AugmentedLagrangian(inner_solver=inner)
+    floors = np.array([-2.0, -0.5, 0.0], dtype=np.float64)
+    n = 2
+    lowers = jnp.asarray(np.stack([np.full(n, f) for f in floors]))
+    uppers = jnp.full((3, n), 10.0)
+    internals = jax.vmap(
+        lambda lo, up: inner.make_internals(n, jnp.float64, lo, up)
+    )(lowers, uppers)
+    starts = jnp.asarray([[2.0, 1.0]] * 3)
+
+    batched = al.minimize_batched(
+        problem, starts, inner_internals=internals
+    )
+    for lane in range(3):
+        single = al.minimize(
+            problem,
+            starts[lane],
+            inner_internals=inner.make_internals(
+                n, jnp.float64, lowers[lane], uppers[lane]
+            ),
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.state.x[lane]),
+            np.asarray(single.state.x),
+            rtol=1e-10,
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            float(batched.state.max_lagrangian_gradient[lane]),
+            float(single.state.max_lagrangian_gradient),
+            rtol=1e-10,
+            atol=1e-12,
+        )
+        # Bounds honoured per lane.
+        assert np.all(
+            np.asarray(batched.state.x[lane]) >= floors[lane] - 1e-8
+        )
+
+    # Lane 0 (floor -2): unconstrained-by-box optimum (-1,-1).
+    np.testing.assert_allclose(
+        np.asarray(batched.state.x[0]), [-1.0, -1.0], atol=1e-3
+    )
+    # Lane 2 (floor 0): box pins x at (0, sqrt(2)) or (sqrt(2), 0) — the
+    # box-constrained optimum on the circle; objective = sqrt(2).
+    obj2 = float(batched.state.x[2].sum())
+    np.testing.assert_allclose(obj2, np.sqrt(2.0), atol=1e-2)
