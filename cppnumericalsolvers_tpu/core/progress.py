@@ -281,7 +281,14 @@ def update_progress(
         jnp.full((PAST_RING_SIZE,), cur_value, dtype),
         progress.past_ring,
     )
-    past_f = ring[progress.past_pos]
+    # One-hot read/write instead of gather/scatter: dynamic-index ops are
+    # slow paths on TPU, and the vmapped gather+select pattern trips an XLA
+    # algebraic-simplifier CHECK ("directed cycle") when a batched AL outer
+    # loop embedding this machine is compiled for TPU — the masked form
+    # lowers to pure vector selects.
+    ring_slot = jax.lax.broadcasted_iota(jnp.int32, (PAST_RING_SIZE,), 0)
+    at_pos = ring_slot == progress.past_pos
+    past_f = jnp.sum(jnp.where(at_pos, ring, jnp.zeros((), dtype)))
     rate = jnp.abs(past_f - cur_value) / jnp.maximum(
         jnp.ones((), dtype), jnp.abs(cur_value)
     )
@@ -295,7 +302,7 @@ def update_progress(
     )
     write_ring = jnp.logical_and(write_ring, reached)
     ring = jnp.where(
-        write_ring, ring.at[progress.past_pos].set(cur_value), ring
+        jnp.logical_and(at_pos, write_ring), cur_value, ring
     )
     past_pos = jnp.where(
         write_ring,

@@ -56,6 +56,7 @@ from .two_loop import (
     _push_two_loop_core,
     _round_up,
     _SUBLANE,
+    _vmem_limit_bytes,
     push_history_xla,
     two_loop_direction_xla,
 )
@@ -149,8 +150,14 @@ def _prologue_kernel(
     alpha = jnp.where(
         invalid, jnp.where(gnorm > eps, 1.0 / gnorm, one), alpha
     )
+    # jnp.int32(0), not a bare 0: under jax_enable_x64 a Python literal in
+    # a 3-arg where becomes a weak-i64 constant whose in-kernel i64->i32
+    # convert_element_type sends the Mosaic lowering rule into infinite
+    # recursion (lower_fun of the conversion re-emits the conversion).
     count = jnp.where(
-        jnp.logical_and(invalid, jnp.logical_not(done)), 0, count
+        jnp.logical_and(invalid, jnp.logical_not(done)),
+        jnp.int32(0),
+        count,
     )
 
     ls_dir = -dir_
@@ -177,9 +184,9 @@ def prologue_pallas_batched(
     # only for n; the tile must divide the batch (see _pick_tile_b).
     n_pad = _round_up(n, _SUBLANE)
     bytes_per_lane = 4 * m * n_pad * jnp.dtype(dtype).itemsize
-    from .two_loop import _VMEM_BLOCK_BUDGET
+    from .two_loop import _scoped_vmem_budget
 
-    tb = _pick_tile_b(b, bytes_per_lane, _VMEM_BLOCK_BUDGET)
+    tb = _pick_tile_b(b, bytes_per_lane, _scoped_vmem_budget())
     b_pad = _round_up(b, tb)
 
     def pad_vec(a):
@@ -234,7 +241,7 @@ def prologue_pallas_batched(
         # read + one write (operand indices: s_memory=2, y_memory=3 map to
         # outputs s_out=3, y_out=4).
         input_output_aliases={2: 3, 3: 4},
-        compiler_params=_pltpu_compiler_params(pltpu, 64 * 1024 * 1024),
+        compiler_params=_pltpu_compiler_params(pltpu, _vmem_limit_bytes()),
         interpret=interpret,
     )(xp, g, s, y, cnt, gam, sn, yn, vld, dn)
     return (
@@ -355,8 +362,12 @@ def _epilogue_kernel(
     y = g1 - g0
     x_delta = jnp.max(jnp.abs(s), axis=-1, keepdims=True)
     stalled = x_delta <= 0.0
+    # jnp.int32(0), not a bare 0 — see the matching note in _prologue_kernel
+    # (x64 weak-i64 literal => recursive Mosaic convert lowering).
     count1 = jnp.where(
-        jnp.logical_and(stalled, jnp.logical_not(done)), 0, count_ref[:]
+        jnp.logical_and(stalled, jnp.logical_not(done)),
+        jnp.int32(0),
+        count_ref[:],
     )
 
     # --- Progress::Update ladder (all (TB, 1) vector-mask selects) ---------
@@ -401,7 +412,7 @@ def _epilogue_kernel(
     reached = status == cont
     xv_cond = jnp.logical_and(xd_thresh > 0, x_delta < xd_thresh)
     x_viol = jnp.where(
-        reached, jnp.where(xv_cond, xviol_ref[:] + 1, 0), xviol_ref[:]
+        reached, jnp.where(xv_cond, xviol_ref[:] + 1, jnp.int32(0)), xviol_ref[:]
     )
     fire = jnp.logical_and(xv_cond, x_viol >= xv_limit)
     status = jnp.where(
@@ -417,7 +428,7 @@ def _epilogue_kernel(
     )
     fv_cond = jnp.logical_and(fd_thresh > 0, f_delta < fd_thresh * f_scale)
     f_viol = jnp.where(
-        reached, jnp.where(fv_cond, fviol_ref[:] + 1, 0), fviol_ref[:]
+        reached, jnp.where(fv_cond, fviol_ref[:] + 1, jnp.int32(0)), fviol_ref[:]
     )
     fire = jnp.logical_and(fv_cond, f_viol >= fv_limit)
     status = jnp.where(
@@ -603,7 +614,14 @@ def epilogue_pallas_batched(
         # matching shape): s_pend_old=9 -> s_pend out=4, y_pend_old=10 ->
         # y_pend out=5, past_ring=20 -> ring out=15.
         input_output_aliases={9: 4, 10: 5, 20: 15},
-        compiler_params=_pltpu_compiler_params(pltpu, 32 * 1024 * 1024),
+        compiler_params=_pltpu_compiler_params(
+            pltpu,
+            # The epilogue's blocks carry no (m, n) history, so the working
+            # set is far below the scoped cap; still derive it from the
+            # device kind rather than assuming a v5e-sized VMEM.
+            None if (_lim := _vmem_limit_bytes()) is None
+            else min(_lim, 32 * 1024 * 1024),
+        ),
         interpret=interpret,
     )(*args)
 

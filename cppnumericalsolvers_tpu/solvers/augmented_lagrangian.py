@@ -301,8 +301,25 @@ def _al_minimize_jit(
             if inner_internals is None
             else inner_internals
         )
+        # A converged outer lane enters its inner solve pre-finished: under
+        # vmap the batched inner while_loop's trip count is the max over
+        # lanes, so without this a frozen lane would re-run its full inner
+        # solve on every remaining outer iteration of the slowest lane
+        # (everything it produces is discarded by the outer done-select
+        # below).  Unbatched this is a no-op: the outer loop predicate
+        # guarantees status == CONTINUE here.
+        outer_done = progress.status != int(Status.CONTINUE)
+        inner_progress0 = init_progress(dtype)
+        inner_progress0 = inner_progress0._replace(
+            status=jnp.where(
+                outer_done,
+                jnp.int32(int(Status.ITERATION_LIMIT)),
+                inner_progress0.status,
+            )
+        )
         inner_res = _solve_loop(
-            composite, inner, inner_state0, inner_internals0, inner_stop
+            composite, inner, inner_state0, inner_internals0, inner_stop,
+            progress0=inner_progress0,
         )
         x_new = inner_res.state.x
         nfev = state.nfev + inner_res.state.nfev

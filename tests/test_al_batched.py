@@ -59,10 +59,16 @@ def test_al_runtime_per_lane_bounds():
     # The reference's AL picks up whatever bounds the inner L-BFGS-B holds
     # (lbfgsb.h:124-130 via augmented_lagrangian.h:347-353) and projects the
     # KKT norm onto them (:577-604).  Here: per-lane runtime boxes via
-    # inner_internals — min x0+x1 on the circle with a per-lane floor
-    # lower >= floor_k pushing the box-constrained optimum off (-1,-1).
+    # inner_internals — min x0+x1 on the circle with a per-lane floor on x0
+    # only, so each lane's box-constrained optimum is the analytic
+    # (floor, -sqrt(2 - floor^2)).  The floor is deliberately NOT applied to
+    # x1: a floor on both coordinates makes the infeasible box corner
+    # (floor, floor) an attractor where the projected AL gradient vanishes,
+    # and the outer loop then spins to its iteration limit without
+    # converging — a pathology, not a test of bound plumbing.
     import jax
 
+    from cppnumericalsolvers_tpu.core.progress import default_stopping
     from cppnumericalsolvers_tpu.solvers import Lbfgsb
 
     problem = _circle_problem()
@@ -70,15 +76,23 @@ def test_al_runtime_per_lane_bounds():
     al = AugmentedLagrangian(inner_solver=inner)
     floors = np.array([-2.0, -0.5, 0.0], dtype=np.float64)
     n = 2
-    lowers = jnp.asarray(np.stack([np.full(n, f) for f in floors]))
+    lowers = jnp.asarray(
+        np.stack([np.asarray([f, -10.0]) for f in floors])
+    )
     uppers = jnp.full((3, n), 10.0)
     internals = jax.vmap(
         lambda lo, up: inner.make_internals(n, jnp.float64, lo, up)
     )(lowers, uppers)
-    starts = jnp.asarray([[2.0, 1.0]] * 3)
+    starts = jnp.asarray([[2.0, -1.0]] * 3)
+    # All lanes converge in < 10 outer iterations; the cap only bounds the
+    # damage if a regression reintroduces a non-converging lane (a vmapped
+    # batch runs until its slowest lane finishes).
+    stop = default_stopping(jnp.float64)._replace(
+        max_iterations=jnp.int32(50)
+    )
 
     batched = al.minimize_batched(
-        problem, starts, inner_internals=internals
+        problem, starts, inner_internals=internals, stopping=stop
     )
     for lane in range(3):
         single = al.minimize(
@@ -87,6 +101,7 @@ def test_al_runtime_per_lane_bounds():
             inner_internals=inner.make_internals(
                 n, jnp.float64, lowers[lane], uppers[lane]
             ),
+            stopping=stop,
         )
         np.testing.assert_allclose(
             np.asarray(batched.state.x[lane]),
@@ -100,16 +115,19 @@ def test_al_runtime_per_lane_bounds():
             rtol=1e-10,
             atol=1e-12,
         )
-        # Bounds honoured per lane.
+        # Bounds honoured per lane; every lane reached its analytic
+        # box-constrained optimum (floor, -sqrt(2-floor^2)) — for the
+        # unconstraining floor -2 that is (-1, -1).
         assert np.all(
-            np.asarray(batched.state.x[lane]) >= floors[lane] - 1e-8
+            np.asarray(batched.state.x[lane]) >= lowers[lane] - 1e-8
         )
-
-    # Lane 0 (floor -2): unconstrained-by-box optimum (-1,-1).
-    np.testing.assert_allclose(
-        np.asarray(batched.state.x[0]), [-1.0, -1.0], atol=1e-3
-    )
-    # Lane 2 (floor 0): box pins x at (0, sqrt(2)) or (sqrt(2), 0) — the
-    # box-constrained optimum on the circle; objective = sqrt(2).
-    obj2 = float(batched.state.x[2].sum())
-    np.testing.assert_allclose(obj2, np.sqrt(2.0), atol=1e-2)
+        f = floors[lane]
+        expect = (
+            [-1.0, -1.0]
+            if f <= -1.0
+            else [f, -np.sqrt(2.0 - f * f)]
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.state.x[lane]), expect, atol=1e-3
+        )
+        assert int(batched.progress.status[lane]) == 6  # Finished (KKT)
