@@ -144,29 +144,22 @@ class MinimizeResult(NamedTuple):
     trace: IterationTrace | None = None  # per-iteration record (trace > 0)
 
 
-def _solve_loop(
+def _make_body(
     objective: Objective,
     solver: SolverBase,
-    state0: FunctionState,
-    internals0: Any,
     stopping: StoppingCriteria,
-    trace: int = 0,
-    callback=None,
-    progress0: ProgressState | None = None,
-    compute_cond_h: bool = False,
-) -> MinimizeResult:
-    """The one driver loop body, shared by fresh solves and :func:`resume`
-    (``progress0`` carries a checkpoint's counters/ring so the resumed
-    trajectory is exactly the uninterrupted one).
+    callback,
+    compute_cond_h: bool,
+):
+    """Build the single-instance loop body shared by every driver variant.
 
-    ``compute_cond_h`` makes the Hessian-condition criterion
-    solver-independent: the reference evaluates cond(H) inside
-    ``Progress::Update`` for *every* second-mode function regardless of
-    solver (progress.h:203-210), paying one extra Hessian evaluation per
-    iteration.  Solvers that already materialise H (Newton, TrustRegion)
-    expose cond(H) through their internals and pay nothing extra; for any
-    other solver the driver evaluates it here when the criterion is enabled
-    (billed as +1 nfev per iteration, mirroring the reference's extra call).
+    The body is self-freezing: for a lane whose ``progress.status`` is
+    terminal it returns the carry unchanged on every path (the fused kernels
+    select internally; ``freeze_in_step`` solvers freeze their internals and
+    the driver selects state/progress; the generic path ends in an explicit
+    ``tree_where``).  That property is what lets :func:`_solve_loop_batched`
+    run ONE while_loop over batched carries with an any-lane predicate
+    instead of vmapping the whole loop.
     """
     stopping_inner = solver.transform_stopping(stopping)
     # Solvers may force derivative-free progress semantics (NelderMead: the
@@ -179,10 +172,6 @@ def _solve_loop(
     use_fused = (not compute_cond_h) and solver.supports_fused_update(
         objective
     )
-
-    def cond(carry):
-        _, _, progress, _ = carry
-        return progress.status == int(Status.CONTINUE)
 
     def body(carry):
         state, internals, progress, trace_buf = carry
@@ -249,9 +238,90 @@ def _solve_loop(
         new_carry = (new_state, new_internals, new_progress, trace_buf)
         return tree_where(done, carry, new_carry)
 
+    return body
+
+
+def _solve_loop(
+    objective: Objective,
+    solver: SolverBase,
+    state0: FunctionState,
+    internals0: Any,
+    stopping: StoppingCriteria,
+    trace: int = 0,
+    callback=None,
+    progress0: ProgressState | None = None,
+    compute_cond_h: bool = False,
+) -> MinimizeResult:
+    """The one driver loop, shared by fresh solves and :func:`resume`
+    (``progress0`` carries a checkpoint's counters/ring so the resumed
+    trajectory is exactly the uninterrupted one).
+
+    ``compute_cond_h`` makes the Hessian-condition criterion
+    solver-independent: the reference evaluates cond(H) inside
+    ``Progress::Update`` for *every* second-mode function regardless of
+    solver (progress.h:203-210), paying one extra Hessian evaluation per
+    iteration.  Solvers that already materialise H (Newton, TrustRegion)
+    expose cond(H) through their internals and pay nothing extra; for any
+    other solver the driver evaluates it here when the criterion is enabled
+    (billed as +1 nfev per iteration, mirroring the reference's extra call).
+    """
+    body = _make_body(objective, solver, stopping, callback, compute_cond_h)
+
+    def cond(carry):
+        _, _, progress, _ = carry
+        return progress.status == int(Status.CONTINUE)
+
     if progress0 is None:
         progress0 = init_progress(state0.value.dtype)
     trace0 = init_trace(trace, state0.value.dtype) if trace > 0 else None
+    state, internals, progress, trace_out = lax.while_loop(
+        cond, body, (state0, internals0, progress0, trace0)
+    )
+    return MinimizeResult(
+        state=state, progress=progress, internals=internals, trace=trace_out
+    )
+
+
+def _solve_loop_batched(
+    objective: Objective,
+    solver: SolverBase,
+    state0: FunctionState,
+    internals0: Any,
+    stopping: StoppingCriteria,
+    trace: int = 0,
+    callback=None,
+    compute_cond_h: bool = False,
+) -> MinimizeResult:
+    """Batch-native driver: ONE while_loop over batched carries, the
+    single-instance body vmapped, predicate = any lane still continuing.
+
+    Semantically identical to ``vmap``-ing :func:`_solve_loop` — the body is
+    self-freezing for done lanes on every path (see :func:`_make_body`) —
+    but structurally cheaper: JAX's while_loop *batching rule* must assume
+    nothing about the body, so a vmapped while_loop masks EVERY carry leaf
+    with a broadcast select each iteration.  For L-BFGS that re-reads and
+    re-writes the (B, m, n) history pair per iteration — measured at ~40% of
+    the whole step's device time at n=4096 (profiles/lbfgs_b256_n4096,
+    ``broadcast_select_fusion`` over f32[256,10,4096]x2 + the loop
+    double-buffer copies it defeats).  Running the loop at batch level makes
+    the lane freeze the body's own (already fused) selects and nothing else.
+    """
+    batch = state0.value.shape[0]
+    dtype = state0.value.dtype
+    body = jax.vmap(_make_body(objective, solver, stopping, callback,
+                               compute_cond_h))
+
+    def cond(carry):
+        _, _, progress, _ = carry
+        return jnp.any(progress.status == int(Status.CONTINUE))
+
+    lanes = jnp.arange(batch)
+    progress0 = jax.vmap(lambda _: init_progress(dtype))(lanes)
+    trace0 = (
+        jax.vmap(lambda _: init_trace(trace, dtype))(lanes)
+        if trace > 0
+        else None
+    )
     state, internals, progress, trace_out = lax.while_loop(
         cond, body, (state0, internals0, progress0, trace0)
     )
@@ -282,19 +352,16 @@ def _solve_one_jit(
 )
 def _solve_batched_jit(objective, x0_batch, solver, stopping, trace=0,
                        internals=None, compute_cond_h=False):
-    if internals is None:
-        return jax.vmap(
-            lambda x0: _solve_one_jit(
-                objective, x0, solver, stopping, trace,
-                compute_cond_h=compute_cond_h,
-            )
-        )(x0_batch)
-    return jax.vmap(
-        lambda x0, ints: _solve_one_jit(
-            objective, x0, solver, stopping, trace, internals=ints,
-            compute_cond_h=compute_cond_h,
-        )
-    )(x0_batch, internals)
+    state0 = jax.vmap(lambda x0: objective.evaluate(x0, nfev=0))(x0_batch)
+    internals0 = (
+        jax.vmap(lambda s: solver.init(objective, s))(state0)
+        if internals is None
+        else internals
+    )
+    return _solve_loop_batched(
+        objective, solver, state0, internals0, stopping, trace,
+        compute_cond_h=compute_cond_h,
+    )
 
 
 def _wants_driver_cond_h(objective: Objective, stopping: StoppingCriteria) -> bool:

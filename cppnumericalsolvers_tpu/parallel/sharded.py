@@ -25,7 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.driver import MinimizeResult, SolverBase, _solve_one_jit
+from ..core.driver import (
+    MinimizeResult,
+    SolverBase,
+    _solve_batched_jit,
+)
 from ..core.objective import Objective
 from ..core.progress import StoppingCriteria
 from ..core.status import CONVERGED_STATUSES
@@ -83,11 +87,13 @@ def minimize_sharded(
         )
 
     def local_solve(x0_shard, stopping_):
-        return jax.vmap(
-            lambda x0: _solve_one_jit.__wrapped__(
-                objective, x0, solver, stopping_
-            )
-        )(x0_shard)
+        # Batch-native loop per device shard (not vmap-of-while): avoids the
+        # while-batching rule's full-carry select — see
+        # core.driver._solve_loop_batched.  Each device still exits its own
+        # loop as soon as its local lanes are all done.
+        return _solve_batched_jit.__wrapped__(
+            objective, x0_shard, solver, stopping_
+        )
 
     # Discover the result structure once (abstract eval, no FLOPs) so
     # out_specs can mirror it.
