@@ -55,11 +55,19 @@ def run_line_search(
     (consumed by More-Thuente; the other searches compute their own).
     """
     if method == "more_thuente":
-        r = more_thuente(
-            value_and_grad, x0, f0, g0, direction, alpha_init,
-            max_fev=max_fev, dginit=dginit,
+        # Routed through the custom-batching op: un-batched calls run the
+        # single-instance MINPACK port; the batched solve path lowers to the
+        # fused batch-native loop (ops/fused_linesearch.py).
+        from ..ops.fused_linesearch import batched_more_thuente
+
+        if dginit is None:
+            dginit = jnp.vdot(g0, direction)
+        x, f, g, alpha, nfev, _info = batched_more_thuente(
+            value_and_grad, x0, f0, g0, direction,
+            jnp.asarray(alpha_init, jnp.result_type(f0)), dginit,
+            max_fev=max_fev,
         )
-        return LineSearchResult(x=r.x, f=r.f, g=r.g, alpha=r.alpha, nfev=r.nfev)
+        return LineSearchResult(x=x, f=f, g=g, alpha=alpha, nfev=nfev)
     if method == "hager_zhang":
         r = hager_zhang(value_and_grad, x0, f0, g0, direction, alpha_init)
         return LineSearchResult(x=r.x, f=r.f, g=r.g, alpha=r.alpha, nfev=r.nfev)

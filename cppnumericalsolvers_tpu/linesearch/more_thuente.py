@@ -167,12 +167,16 @@ def cstep(
         jnp.logical_and(~case1, ~(sgnd < 0.0)), ~(jnp.abs(dp) < jnp.abs(dx))
     )
 
+    # Explicit int32 literals: inside the fused Pallas line-search kernel
+    # (ops/fused_linesearch.py) a bare Python int in a 3-arg where becomes a
+    # weak-i64 constant under jax_enable_x64, which Mosaic cannot legalize
+    # (same pitfall as ops/fused_step.py's count handling).
     info = (
-        jnp.where(case1, 1, 0)
-        + jnp.where(case2, 2, 0)
-        + jnp.where(case3, 3, 0)
-        + jnp.where(case4, 4, 0)
-    ).astype(jnp.int32)
+        jnp.where(case1, jnp.int32(1), jnp.int32(0))
+        + jnp.where(case2, jnp.int32(2), jnp.int32(0))
+        + jnp.where(case3, jnp.int32(3), jnp.int32(0))
+        + jnp.where(case4, jnp.int32(4), jnp.int32(0))
+    )
     bound = jnp.logical_or(case1, case3)
     stpf = jnp.where(
         case1, stpf1, jnp.where(case2, stpf2, jnp.where(case3, stpf3, stpf4))
@@ -215,7 +219,16 @@ def cstep(
         fy=keep(input_error, new_fy, fy),
         dy=keep(input_error, new_dy, dy),
         stp=keep(input_error, new_stp, stp),
-        brackt=jnp.where(input_error, brackt, new_brackt),
+        # Select in the i32 domain, then compare back to bool: a select over
+        # two i1 vectors is a Mosaic legalization failure when this runs
+        # inside the fused line-search kernel (see ops/fused_step.py's
+        # matching note); semantics are identical.
+        brackt=jnp.where(
+            input_error,
+            brackt.astype(jnp.int32),
+            new_brackt.astype(jnp.int32),
+        )
+        != 0,
         info=jnp.where(input_error, jnp.int32(0), info),
     )
 
@@ -388,7 +401,7 @@ def more_thuente(
         stage1 = jnp.where(
             jnp.logical_and(
                 jnp.logical_and(c.stage1, f <= ftest1),
-                dg >= jnp.minimum(_FTOL, _GTOL) * dginit,
+                dg >= min(_FTOL, _GTOL) * dginit,
             ),
             jnp.zeros((), jnp.bool_),
             c.stage1,

@@ -120,6 +120,7 @@ def _prologue_kernel(
     valid_ref, done_ref,
     dir_ref, alpha_ref, dginit_ref, s_out_ref, y_out_ref, count_out_ref,
     gamma_out_ref,
+    *, compact=False,
 ):
     g = g_ref[:]  # (TB, n)
     dtype = g.dtype
@@ -129,7 +130,7 @@ def _prologue_kernel(
 
     q, count, gamma = _push_two_loop_core(
         g, count_ref[:], gamma_ref[:], valid, snew_ref[:], ynew_ref[:],
-        s_ref, y_ref, s_out_ref, y_out_ref,
+        s_ref, y_ref, s_out_ref, y_out_ref, compact=compact,
     )
 
     x = x_ref[:]
@@ -222,8 +223,10 @@ def prologue_pallas_batched(
     vspec = pl.BlockSpec((tb, n_pad), vec, memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((tb, 1), vec, memory_space=pltpu.VMEM)
+    from .two_loop import COMPACT_N_MAX
+
     ls_dir, alpha, dginit, s_out, y_out, cnt_out, gam_out = pl.pallas_call(
-        _prologue_kernel,
+        functools.partial(_prologue_kernel, compact=n <= COMPACT_N_MAX),
         out_shape=(
             jax.ShapeDtypeStruct((b_pad, n_pad), dtype),
             jax.ShapeDtypeStruct((b_pad, 1), dtype),

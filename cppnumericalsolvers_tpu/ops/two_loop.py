@@ -107,12 +107,14 @@ def two_loop_direction_xla(
 
 _LANE = 128  # TPU lane width
 _SUBLANE = 8  # f32 sublane tile
-# Hard tile cap.  v5e tile sweep (fused kernel, per-call device time via
-# scan contrast): at n=32 throughput keeps improving slowly with tile size
-# (128→75.2, 256→78.7, 512→80.2 GB/s at B=8192) — latency-bound, fatter
-# programs amortize fixed overhead; at n>=256 the VMEM budget below binds
-# first, so the cap only matters in the small-n regime.
-_TILE_B = 512
+# Hard tile cap.  v5e tile sweeps (fused kernel, per-call device time via
+# scan contrast): at n=32 throughput improves with tile size well past the
+# round-1 cap — round-4 sweep at (B=1024, n=32): tile 512 125.0 us, tile
+# 1024 **86.1 us**, tile 2048 95.5 us — the 2m-step serial reduction chain
+# amortizes over more lanes per program until the fatter blocks start
+# thrashing VMEM.  At n>=256 the VMEM budget below binds first, so the cap
+# only matters in the small-n regime.
+_TILE_B = 1024
 # Per-program VMEM block budget for the fused push+two-loop kernel (S/Y
 # appear as both input and output blocks, so blocks alone are 4mn floats per
 # lane).  v5e sweep at n=1024: tiles capped here to 32 lanes run at 433
@@ -428,11 +430,19 @@ def push_history_xla(s_memory, y_memory, mem_count, gamma, s_new, y_new, valid):
 def _push_two_loop_core(
     g, count, gamma, valid, s_new, y_new,
     s_ref, y_ref, s_out_ref, y_out_ref,
+    compact: bool = False,
 ):
     """Shared VMEM-resident body: curvature-gated history push streamed into
     the output refs, then both two-loop passes on the updated history.
     ``g``/``s_new``/``y_new`` are loaded (TB, n) values; ``count``/``gamma``/
     ``valid`` are (TB, 1).  Returns ``(q, new_count, new_gamma)``.
+
+    ``compact`` (static) selects the Gram-matrix formulation
+    (:func:`_two_loop_compact`) that replaces the 2m-step serial reduction
+    chain with independent reductions — the small-n regime's issue-rate fix;
+    the sequential form stays the large-n default (its 2m reductions move
+    less VMEM data than the Gram triangle, and at large n the kernel is
+    bandwidth-bound, not latency-bound).
 
     Used by the fused push+two-loop kernel and by the full L-BFGS prologue
     kernel (ops/fused_step.py) which additionally folds the direction-
@@ -478,6 +488,12 @@ def _push_two_loop_core(
         s_out_ref[:, r, :] = jnp.where(write, s_new, base_s)
         y_out_ref[:, r, :] = jnp.where(write, y_new, base_y)
 
+    if compact:
+        s_rows = [s_out_ref[:, r, :] for r in range(m)]
+        y_rows = [y_out_ref[:, r, :] for r in range(m)]
+        q = _two_loop_compact(g, new_gamma, new_count, s_rows, y_rows)
+        return q, new_count, new_gamma
+
     # Two-loop recursion on the UPDATED history (see _two_loop_kernel for the
     # masking rationale).
     alphas = [None] * m
@@ -508,9 +524,96 @@ def _push_two_loop_core(
     return q, new_count, new_gamma
 
 
+def _two_loop_compact(g, gamma, new_count, s_rows, y_rows):
+    """Compact-form two-loop: Gram-matrix reductions up front, serial
+    recurrences on (TB, 1) scalars only.
+
+    The classic two-loop (above) is a chain of 2m *serially dependent*
+    (TB, n) row-reductions — at small n each reduction moves too little data
+    to hide its latency, and the chain binds the kernel on VPU/DMA issue
+    rate ~20x below the HBM roofline (ROOFLINE.md round 3, (1024, 32)).
+    This form exposes the parallelism instead: expand the recursion so every
+    O(n) reduction is independent —
+
+        alpha_r = rho_r (s_r.g  - sum_{k>r} alpha_k s_r.y_k)     (backward)
+        q_m     = g - sum_r alpha_r y_r
+        beta_r  = rho_r (gamma y_r.q_m + sum_{k<r} c_k y_k.s_r)  (forward)
+        r_out   = gamma q_m + sum_r c_r s_r,   c_r = alpha_r - beta_r
+
+    The O(n) work (the strictly-upper Gram triangle s_a.y_b, the diagonal,
+    S.g, Y.q_m, and two weighted row-sums) is m(m-1)/2 + 4m independent
+    VPU reductions the pipeline can overlap; the only serial chains left are
+    the m-step alpha/beta recurrences on (TB, 1) scalars.  Identical
+    arithmetic to the sequential form up to reduction order (parity-tested
+    both backends).  ``s_rows``/``y_rows`` are the m UPDATED history rows as
+    loaded values.  Returns the direction ``r_out``.
+    """
+    m = len(s_rows)
+    dtype = g.dtype
+    eps = jnp.finfo(dtype).eps
+
+    def rdot(a, b):
+        return jnp.sum(a * b, axis=-1, keepdims=True)
+
+    diag = [rdot(s_rows[r], y_rows[r]) for r in range(m)]
+    usable = [
+        jnp.logical_and(new_count > r, jnp.abs(diag[r]) >= eps)
+        for r in range(m)
+    ]
+    rho = [
+        jnp.where(usable[r], 1.0 / jnp.where(usable[r], diag[r], 1.0), 0.0)
+        for r in range(m)
+    ]
+    sg = [rdot(s_rows[r], g) for r in range(m)]
+    # Strictly-upper Gram triangle: SY[a][b] = s_a . y_b for a < b serves the
+    # backward pass directly and the forward pass transposed (y_b . s_a).
+    sy = {}
+    for a in range(m):
+        for b_ in range(a + 1, m):
+            sy[(a, b_)] = rdot(s_rows[a], y_rows[b_])
+
+    alphas = [None] * m
+    for r in range(m - 1, -1, -1):
+        acc = sg[r]
+        for k in range(r + 1, m):
+            acc = acc - alphas[k] * sy[(r, k)]
+        alphas[r] = rho[r] * acc
+
+    q = g
+    for r in range(m):
+        q = q - jnp.where(usable[r], alphas[r], 0.0) * y_rows[r]
+
+    u = [rdot(y_rows[r], q) for r in range(m)]
+    cs = [None] * m
+    for r in range(m):
+        acc = gamma * u[r]
+        for k in range(r):
+            acc = acc + cs[k] * sy[(k, r)]
+        cs[r] = alphas[r] - rho[r] * acc
+
+    out = q * gamma
+    for r in range(m):
+        out = out + jnp.where(usable[r], cs[r], 0.0) * s_rows[r]
+    return out
+
+
+# Static threshold for the compact (Gram-matrix) two-loop form
+# (_two_loop_compact).  Round-4 v5e sweep at (B=1024, n=32), standalone
+# push+two-loop kernel: compact 93.6 us vs sequential 125.0 us at tile 512 —
+# but the *tile-1024 sequential* form wins outright (86.1 us; compact at
+# tile 1024 regresses to 157.6 us, its extra Gram-triangle VMEM temps
+# thrash at fat tiles), and end-to-end the compact prologue measured slower
+# (230 vs 206 us/iter).  The compact form is therefore DISABLED by default
+# and kept (parity-tested in interpret mode) as the documented negative
+# result + the starting point if a future chip shifts the issue-rate/
+# bandwidth balance.
+COMPACT_N_MAX = 0
+
+
 def _push_two_loop_kernel(
     g_ref, s_ref, y_ref, count_ref, gamma_ref, snew_ref, ynew_ref, valid_ref,
     d_ref, s_out_ref, y_out_ref, count_out_ref, gamma_out_ref,
+    *, compact=False,
 ):
     """One (TB, m, n) block: history push, then both two-loop passes, all in
     a single VMEM residency.  Per-lane divergence (accept / slot / count) is
@@ -518,13 +621,14 @@ def _push_two_loop_kernel(
     q, new_count, new_gamma = _push_two_loop_core(
         g_ref[:], count_ref[:], gamma_ref[:], valid_ref[:] != 0,
         snew_ref[:], ynew_ref[:], s_ref, y_ref, s_out_ref, y_out_ref,
+        compact=compact,
     )
     d_ref[:] = q
     count_out_ref[:] = new_count
     gamma_out_ref[:] = new_gamma
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "compact"))
 def push_two_loop_pallas_batched(
     gradient: jax.Array,  # (B, n)
     s_memory: jax.Array,  # (B, m, n)
@@ -535,6 +639,7 @@ def push_two_loop_pallas_batched(
     y_new: jax.Array,  # (B, n)
     valid: jax.Array,  # (B,) bool
     interpret: bool = False,
+    compact: bool | None = None,  # None = auto (n <= COMPACT_N_MAX)
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -585,8 +690,10 @@ def push_two_loop_pallas_batched(
     grid = (b_pad // tb,)
     vec = lambda i: (i, zero)  # noqa: E731
     mat = lambda i: (i, zero, zero)  # noqa: E731
+    if compact is None:
+        compact = n <= COMPACT_N_MAX
     d, s_out, y_out, cnt_out, gam_out = pl.pallas_call(
-        _push_two_loop_kernel,
+        functools.partial(_push_two_loop_kernel, compact=compact),
         out_shape=(
             jax.ShapeDtypeStruct((b_pad, n_pad), dtype),
             jax.ShapeDtypeStruct((b_pad, m, n_pad), dtype),

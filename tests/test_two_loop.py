@@ -204,3 +204,38 @@ def test_fused_op_custom_vmap_matches_single():
             np.testing.assert_allclose(
                 np.asarray(bo[i]), np.asarray(so), rtol=1e-12, err_msg=name
             )
+
+
+def test_compact_form_matches_sequential_interpret():
+    """The compact (Gram-matrix) two-loop form is disabled by default on
+    current hardware (COMPACT_N_MAX=0 — measured slower end-to-end on v5e,
+    see ops/two_loop.py) but stays parity-pinned so it remains a valid
+    drop-in if a future chip shifts the issue-rate/bandwidth balance."""
+    import numpy as np
+
+    from cppnumericalsolvers_tpu.ops.two_loop import (
+        push_two_loop_pallas_batched,
+    )
+
+    rng = np.random.default_rng(5)
+    b, m, n = 16, 7, 24
+    g = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((b, m, n)).astype(np.float32) * 0.1)
+    y = jnp.asarray(s + 0.05 * rng.standard_normal((b, m, n)).astype(np.float32))
+    count = jnp.asarray(rng.integers(0, m + 1, (b,)).astype(np.int32))
+    gamma = jnp.asarray(rng.uniform(0.5, 2.0, (b,)).astype(np.float32))
+    sn = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32) * 0.1)
+    yn = jnp.asarray(sn + 0.05 * rng.standard_normal((b, n)).astype(np.float32))
+    valid = jnp.asarray(rng.integers(0, 2, (b,)).astype(bool))
+
+    seq = push_two_loop_pallas_batched(
+        g, s, y, count, gamma, sn, yn, valid, interpret=True, compact=False
+    )
+    cmp_ = push_two_loop_pallas_batched(
+        g, s, y, count, gamma, sn, yn, valid, interpret=True, compact=True
+    )
+    for i, (a, c) in enumerate(zip(seq, cmp_)):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=2e-5, atol=2e-5,
+            err_msg=f"output {i}",
+        )
