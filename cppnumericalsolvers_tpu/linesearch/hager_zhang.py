@@ -8,16 +8,16 @@ as in the reference.
 
 The C++ keeps a growing evaluation-history vector, but the algorithm only
 ever reads the current bracket endpoints and the previous sample — so the
-JAX port carries ``(alpha, phi, dphi)`` triples directly through
+JAX port carries ``(alpha, phi, dphi, g)`` samples directly through
 ``lax.while_loop``s, keeping all shapes static.  HZ defaults preserved:
 delta=0.1, sigma=0.9, eps=1e-6, gamma=0.66, rho=5, 50 iterations, with the
 non-finite-overshoot recovery (shrink by psi3 / bisect back) and the
 best-seen-sample fallback (hager_zhang.h:317-329, :342-355, :444-455).
 
-One deliberate difference: every acceptance path re-evaluates ``(f, g)`` at
-the accepted alpha once at the end instead of threading the last evaluation's
-workspace through (one extra evaluation per search; the returned state is
-identical)."""
+Each sample carries its full gradient vector so every acceptance path
+returns the accepted evaluation's own ``(f, g)`` workspace — the reference's
+state threading (hager_zhang.h:444-455) — with no extra evaluation; nfev
+matches the C++ exactly (the round-2/3 +1-eval deviation is removed)."""
 
 from __future__ import annotations
 
@@ -44,6 +44,7 @@ class _Trip(NamedTuple):
     alpha: jax.Array
     phi: jax.Array
     dphi: jax.Array
+    g: jax.Array  # (n,) gradient at x0 + alpha*d (the threaded workspace)
 
 
 class HagerZhangResult(NamedTuple):
@@ -73,7 +74,7 @@ def hager_zhang(
 
     def phi_dphi(alpha, nfev):
         f, g = value_and_grad(x0 + alpha * s)
-        return _Trip(alpha=alpha, phi=f, dphi=jnp.vdot(g, s)), nfev + 1
+        return _Trip(alpha=alpha, phi=f, dphi=jnp.vdot(g, s), g=g), nfev + 1
 
     def wolfe(t: _Trip):
         # T1/T2 acceptance (hager_zhang.h:131-140).
@@ -95,21 +96,15 @@ def hager_zhang(
 
     def better_best(best, t: _Trip):
         take = jnp.logical_and(t.alpha > 0.0, t.phi < best.phi)
-        return _Trip(
-            alpha=jnp.where(take, t.alpha, best.alpha),
-            phi=jnp.where(take, t.phi, best.phi),
-            dphi=jnp.where(take, t.dphi, best.dphi),
+        return jax.tree.map(
+            lambda new, old: jnp.where(take, new, old), t, best
         )
 
     def select_trip(pred, a: _Trip, b: _Trip):
-        return _Trip(
-            alpha=jnp.where(pred, a.alpha, b.alpha),
-            phi=jnp.where(pred, a.phi, b.phi),
-            dphi=jnp.where(pred, a.dphi, b.dphi),
-        )
+        return jax.tree.map(lambda u, v: jnp.where(pred, u, v), a, b)
 
     zero_trip = _Trip(
-        alpha=jnp.zeros((), dtype), phi=phi_0, dphi=dphi_0
+        alpha=jnp.zeros((), dtype), phi=phi_0, dphi=dphi_0, g=g0
     )
 
     # -- U3 bisection (hager_zhang.h:186-214) --------------------------------
@@ -451,14 +446,17 @@ def hager_zhang(
     collapse_usable = jnp.logical_and(sres.collapsed, sres.a.alpha > 0.0)
     best_usable = sres.best.alpha > 0.0
 
-    alpha = jnp.where(
+    final_trip = select_trip(
         accepted,
-        accept_trip.alpha,
-        jnp.where(
-            collapse_usable,
-            sres.a.alpha,
-            jnp.where(best_usable, sres.best.alpha, 0.0),
+        accept_trip,
+        select_trip(collapse_usable, sres.a, sres.best),
+    )
+    alpha = jnp.where(
+        jnp.logical_or(
+            accepted, jnp.logical_or(collapse_usable, best_usable)
         ),
+        final_trip.alpha,
+        jnp.zeros((), dtype),
     )
     ok = jnp.logical_and(
         ~no_descent,
@@ -471,15 +469,14 @@ def hager_zhang(
     # (hager_zhang.h:301-302).
     alpha = jnp.where(no_descent, jnp.asarray(alpha_init, dtype), alpha)
 
-    # One final evaluation at the accepted step (see module docstring).
-    f_acc, g_acc = value_and_grad(x0 + alpha * s)
-    nfev = sres.nfev + jnp.where(ok, 1, 0)
-    x_out = jnp.where(ok, x0 + alpha * s, x0)
+    # The accepted sample's own evaluation IS the returned state — the
+    # reference's workspace threading (hager_zhang.h:444-455): no re-eval.
+    x_out = jnp.where(ok, x0 + final_trip.alpha * s, x0)
     return HagerZhangResult(
         x=x_out,
-        f=jnp.where(ok, f_acc, f0),
-        g=jnp.where(ok, g_acc, g0),
+        f=jnp.where(ok, final_trip.phi, f0),
+        g=jnp.where(ok, final_trip.g, g0),
         alpha=alpha,
-        nfev=nfev,
+        nfev=sres.nfev,
         ok=ok,
     )

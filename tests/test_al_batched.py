@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cppnumericalsolvers_tpu import ConstrainedProblem, objective
+from cppnumericalsolvers_tpu.core.status import Status
 from cppnumericalsolvers_tpu.solvers import AugmentedLagrangian, Lbfgs
 
 
@@ -130,4 +131,4 @@ def test_al_runtime_per_lane_bounds():
         np.testing.assert_allclose(
             np.asarray(batched.state.x[lane]), expect, atol=1e-3
         )
-        assert int(batched.progress.status[lane]) == 6  # Finished (KKT)
+        assert int(batched.progress.status[lane]) == int(Status.FINISHED)

@@ -71,3 +71,41 @@ def test_non_descent_returns_start():
     assert not bool(res.ok)
     assert float(res.alpha) == 1.0  # alpha_init untouched, like the C++
     assert float(res.f) == pytest.approx(1.0)
+
+
+def test_nfev_parity_no_extra_eval():
+    """nfev matches the reference's workspace-threading exactly
+    (hager_zhang.h:444-455): an immediately-Wolfe-acceptable initial trial
+    costs ONE evaluation — rounds 2-3 paid a disclosed +1 re-evaluation at
+    the accepted step, removed in round 4 by carrying the accepted sample's
+    (f, g) through the loop state."""
+    vag = jax.value_and_grad(lambda x: x[0] ** 2 - 2.0 * x[0])
+    x = jnp.array([0.0], dtype=jnp.float64)
+    f0, g0 = vag(x)
+    s = jnp.array([1.0], dtype=jnp.float64)
+    res = hager_zhang(vag, x, f0, g0, s, 1.0)
+    assert bool(res.ok)
+    assert int(res.nfev) == 1  # the initial trial IS the accepted sample
+
+
+@pytest.mark.parametrize(
+    "fn,alpha_init",
+    [
+        (lambda x: x[0] ** 2 - 2.0 * x[0], 0.1),
+        (lambda x: x[0] ** 3 - 3.0 * x[0] + 2.0, 3.0),
+        (lambda x: 1e6 * x[0] ** 2 - 1e6 * x[0] + 2.5e5, 1.0),
+    ],
+)
+def test_accepted_state_is_own_evaluation(fn, alpha_init):
+    """Populated-state invariant without re-evaluation: the returned (f, g)
+    are bit-identical to evaluating at the returned x (they ARE that
+    evaluation, threaded through the carry)."""
+    vag = jax.value_and_grad(fn)
+    x = jnp.array([0.0], dtype=jnp.float64)
+    f0, g0 = vag(x)
+    s = jnp.array([1.0], dtype=jnp.float64)
+    res = hager_zhang(vag, x, f0, g0, s, alpha_init)
+    assert bool(res.ok)
+    f_chk, g_chk = vag(res.x)
+    assert float(res.f) == float(f_chk)
+    assert float(res.g[0]) == float(g_chk[0])
