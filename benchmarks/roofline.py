@@ -430,7 +430,7 @@ def xla_cost_analysis(batch, n):
     }
 
 
-def write_markdown(rows, peak_gbps, kind, path, sharded=None):
+def write_markdown(rows, peak_gbps, kind, path, sharded=None, op_tables=None):
     lines = [
         "# Roofline: batched L-BFGS per-iteration step",
         "",
@@ -522,6 +522,14 @@ def write_markdown(rows, peak_gbps, kind, path, sharded=None):
             "the step is within overhead of the floor no line-search "
             "restructuring can beat."
         )
+    if op_tables:
+        lines += [
+            "",
+            "## Trace-derived op-time tables (profiler captures summarized "
+            "in place of committed binaries — benchmarks/trace_table.py)",
+        ]
+        for title, table in op_tables:
+            lines += ["", f"### {title}", "", table]
     lines.append("")
     with open(path, "w") as fh:
         fh.write("\n".join(lines))
@@ -569,7 +577,31 @@ def main():
     md_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "ROOFLINE.md"
     )
-    write_markdown(rows, peak, kind, md_path, sharded)
+    op_tables = None
+    if args.profile:
+        import contextlib
+        import io
+
+        from trace_table import load_device_events, summarize  # noqa: F401
+        import trace_table
+
+        op_tables = []
+        for batch, n in grid:
+            cdir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "..", "profiles", f"lbfgs_b{batch}_n{n}",
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                sys.argv = ["trace_table", cdir, "--top", "12"]
+                try:
+                    trace_table.main()
+                except SystemExit:
+                    continue
+            op_tables.append(
+                (f"(B={batch}, n={n})", buf.getvalue().strip())
+            )
+    write_markdown(rows, peak, kind, md_path, sharded, op_tables)
     print(
         json.dumps(
             {

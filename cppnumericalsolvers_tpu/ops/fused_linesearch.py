@@ -23,11 +23,16 @@ updates (:246-252), per-lane termination freezing, and the NEXT trip's
 trial-point formation ``x0 + stp * d`` (:178-195) — so converged lanes idle
 in VMEM selects instead of XLA dispatches.
 
-The single-instance oracle is
-:func:`cppnumericalsolvers_tpu.linesearch.more_thuente.more_thuente` itself:
-un-batched calls (and any non-TPU / f64 / non-tileable-shape configuration)
-of the :func:`batched_more_thuente` custom_vmap op lower to it verbatim, so
-the fused path cannot drift semantically from the MINPACK port.
+The trip math lives in ONE place (:func:`_mt_trip_core`) executed two ways:
+as the Pallas kernel on the TPU/f32 path, and as plain XLA ops in the
+batch-native fallback loop (:func:`mt_xla_batched`) that serves f64 (the
+MGH reliability suite), CPU, and non-tileable shapes — still one while_loop
+at batch level, so no path pays the vmapped-while broadcast-select.  The
+single-instance oracle is
+:func:`cppnumericalsolvers_tpu.linesearch.more_thuente.more_thuente`
+itself: un-batched calls of the :func:`batched_more_thuente` custom_vmap op
+lower to it verbatim, and both batched forms are parity-tested against it,
+so the fused paths cannot drift semantically from the MINPACK port.
 """
 
 from __future__ import annotations
@@ -92,48 +97,28 @@ def _trial_setup(stp, stx, sty, brackt, nfev, infoc, max_fev):
     return jnp.where(fallback, stx, stp_c), stmin, stmax
 
 
-def _mt_kernel(
-    # loop-invariant blocks
-    x0_ref, s_ref, finit_ref, dginit_ref, dgtest_ref,
-    # this trip's objective evaluation
-    ft_ref, gt_ref,
-    # carry in
-    gacc_ref, facc_ref, stp_ref, stmin_ref, stmax_ref,
-    stx_ref, fx_ref, dgx_ref, sty_ref, fy_ref, dgy_ref,
-    width_ref, width1_ref,
-    brackt_ref, stage1_ref, nfev_ref, info_ref, infoc_ref,
-    # outputs (carry out)
-    xtrial_ref, gacco_ref, facco_ref, stpo_ref, stmino_ref, stmaxo_ref,
-    stxo_ref, fxo_ref, dgxo_ref, styo_ref, fyo_ref, dgyo_ref,
-    widtho_ref, width1o_ref,
-    brackto_ref, stage1o_ref, nfevo_ref, infoo_ref, infoco_ref,
+def _mt_trip_core(
+    x0, s, finit, dginit, dgtest, f_t, g_t,
+    gacc, facc, stp, stmin, stmax,
+    stx, fx, dgx, sty, fy, dgy, width, width1,
+    brackt_i, stage1_i, nfev_in, info_in, infoc,
     *, max_fev,
 ):
-    """One (TB, ·) block: the complete post-evaluation half of a More-Thuente
-    trip plus the next trip's trial formation, mirroring the single-instance
-    loop body's exact op order (linesearch/more_thuente.py body()).  Every
-    early return of the C++ (termination, already-terminated lanes) is a
-    vector-mask select.
+    """The complete post-evaluation half of a More-Thuente trip plus the
+    next trip's trial formation, mirroring the single-instance loop body's
+    exact op order (linesearch/more_thuente.py body()).  Every early return
+    of the C++ (termination, already-terminated lanes) is a vector-mask
+    select.
+
+    Pure (batch, 1)-column arithmetic plus three O(batch*n) ops (the dg
+    reduction, the accepted-gradient select, the trial-point FMA) — the
+    single source of truth for the trip math, executed two ways: loaded
+    into VMEM by the Pallas kernel (:func:`_mt_kernel`) on the TPU/f32
+    path, and called directly on arrays by the XLA batch-native fallback
+    loop (any backend/dtype/shape).  Returns the 19-element carry-out
+    tuple.
     """
     i32 = jnp.int32
-    s = s_ref[:]  # (TB, n)
-    g_t = gt_ref[:]  # (TB, n)
-    f_t = ft_ref[:]  # (TB, 1)
-    finit = finit_ref[:]
-    dginit = dginit_ref[:]
-    dgtest = dgtest_ref[:]
-    stp = stp_ref[:]  # the evaluated trial step for this trip
-    stmin = stmin_ref[:]
-    stmax = stmax_ref[:]
-    stx, fx, dgx = stx_ref[:], fx_ref[:], dgx_ref[:]
-    sty, fy, dgy = sty_ref[:], fy_ref[:], dgy_ref[:]
-    width, width1 = width_ref[:], width1_ref[:]
-    brackt_i = brackt_ref[:]
-    stage1_i = stage1_ref[:]
-    nfev_in = nfev_ref[:]
-    info_in = info_ref[:]
-    infoc = infoc_ref[:]
-
     brackt = brackt_i != 0
     active = info_in == 0  # lanes still searching this trip
 
@@ -244,25 +229,64 @@ def _mt_kernel(
         return jnp.where(searching, new, old)
 
     stp_out = upd(stp_t, stp)
-    xtrial_ref[:] = x0_ref[:] + stp_out * s
-    gacco_ref[:] = jnp.where(active, g_t, gacc_ref[:])
-    facco_ref[:] = jnp.where(active, f_t, facc_ref[:])
-    stpo_ref[:] = stp_out
-    stmino_ref[:] = upd(stmin_t, stmin)
-    stmaxo_ref[:] = upd(stmax_t, stmax)
-    stxo_ref[:] = upd(stx_c, stx)
-    fxo_ref[:] = upd(fx_c, fx)
-    dgxo_ref[:] = upd(dgx_c, dgx)
-    styo_ref[:] = upd(sty_c, sty)
-    fyo_ref[:] = upd(fy_c, fy)
-    dgyo_ref[:] = upd(dgy_c, dgy)
-    widtho_ref[:] = upd(width_c, width)
-    width1o_ref[:] = upd(width1_c, width1)
-    brackto_ref[:] = jnp.where(searching, brackt_c.astype(i32), brackt_i)
-    stage1o_ref[:] = jnp.where(searching, stage1_new_i, stage1_i)
-    nfevo_ref[:] = jnp.where(active, nfev1, nfev_in)
-    infoo_ref[:] = jnp.where(active, info_new, info_in)
-    infoco_ref[:] = jnp.where(searching, infoc_new, infoc)
+    return (
+        x0 + stp_out * s,  # x_trial
+        jnp.where(active, g_t, gacc),
+        jnp.where(active, f_t, facc),
+        stp_out,
+        upd(stmin_t, stmin),
+        upd(stmax_t, stmax),
+        upd(stx_c, stx),
+        upd(fx_c, fx),
+        upd(dgx_c, dgx),
+        upd(sty_c, sty),
+        upd(fy_c, fy),
+        upd(dgy_c, dgy),
+        upd(width_c, width),
+        upd(width1_c, width1),
+        jnp.where(searching, brackt_c.astype(i32), brackt_i),
+        jnp.where(searching, stage1_new_i, stage1_i),
+        jnp.where(active, nfev1, nfev_in),
+        jnp.where(active, info_new, info_in),
+        jnp.where(searching, infoc_new, infoc),
+    )
+
+
+def _mt_kernel(
+    # loop-invariant blocks
+    x0_ref, s_ref, finit_ref, dginit_ref, dgtest_ref,
+    # this trip's objective evaluation
+    ft_ref, gt_ref,
+    # carry in
+    gacc_ref, facc_ref, stp_ref, stmin_ref, stmax_ref,
+    stx_ref, fx_ref, dgx_ref, sty_ref, fy_ref, dgy_ref,
+    width_ref, width1_ref,
+    brackt_ref, stage1_ref, nfev_ref, info_ref, infoc_ref,
+    # outputs (carry out)
+    xtrial_ref, gacco_ref, facco_ref, stpo_ref, stmino_ref, stmaxo_ref,
+    stxo_ref, fxo_ref, dgxo_ref, styo_ref, fyo_ref, dgyo_ref,
+    widtho_ref, width1o_ref,
+    brackto_ref, stage1o_ref, nfevo_ref, infoo_ref, infoco_ref,
+    *, max_fev,
+):
+    """One (TB, ·) block: :func:`_mt_trip_core` in a single VMEM residency."""
+    outs = _mt_trip_core(
+        x0_ref[:], s_ref[:], finit_ref[:], dginit_ref[:], dgtest_ref[:],
+        ft_ref[:], gt_ref[:],
+        gacc_ref[:], facc_ref[:], stp_ref[:], stmin_ref[:], stmax_ref[:],
+        stx_ref[:], fx_ref[:], dgx_ref[:], sty_ref[:], fy_ref[:], dgy_ref[:],
+        width_ref[:], width1_ref[:],
+        brackt_ref[:], stage1_ref[:], nfev_ref[:], info_ref[:], infoc_ref[:],
+        max_fev=max_fev,
+    )
+    out_refs = (
+        xtrial_ref, gacco_ref, facco_ref, stpo_ref, stmino_ref, stmaxo_ref,
+        stxo_ref, fxo_ref, dgxo_ref, styo_ref, fyo_ref, dgyo_ref,
+        widtho_ref, width1o_ref,
+        brackto_ref, stage1o_ref, nfevo_ref, infoo_ref, infoco_ref,
+    )
+    for ref, val in zip(out_refs, outs):
+        ref[:] = val
 
 
 def mt_pallas_batched(
@@ -294,9 +318,14 @@ def mt_pallas_batched(
     dtype = x0.dtype
     assert n % _SUBLANE == 0 and b % _SUBLANE == 0, (b, n)
 
-    # Vector blocks per lane: x0, s, g_t, gacc in + x_trial, gacc out.
-    bytes_per_lane = 6 * n * jnp.dtype(dtype).itemsize
-    tb = _pick_tile_b(b, bytes_per_lane, 4 << 20)
+    from .two_loop import _phys_cols
+
+    # Physical per-lane bytes: x0, s, g_t, gacc in + x_trial, gacc out,
+    # plus ~36 (B, 1) scalar columns each padding to a 128-lane tile.
+    bytes_per_lane = (6 * _phys_cols(n) + 36 * 128) * jnp.dtype(
+        dtype
+    ).itemsize
+    tb = _pick_tile_b(b, bytes_per_lane, 16 << 20)
     grid = (b // tb,)
 
     def col(a):
@@ -352,9 +381,13 @@ def mt_pallas_batched(
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        # Donate the accepted-gradient buffer (input 7 -> output 1); the
-        # kernel's vector HBM traffic is then 4 reads + 2 writes per trip.
-        input_output_aliases={7: 1},
+        # Donate every carried buffer into its successor: without the full
+        # alias map XLA ping-pong-copies each of the 17 scalar carries once
+        # per line-search trip (measured: 16 x copy ops, ~1.6 us/trip at
+        # (1024, 32)).  g_t (input 6) is dead after the kernel and hosts the
+        # next trial point; g_acc and every scalar carry alias their
+        # matching outputs.
+        input_output_aliases={6: 0, 7: 1, 8: 2, **{i: i - 6 for i in range(9, 25)}},
         compiler_params=_pltpu_compiler_params(
             pltpu,
             None if (_lim := _vmem_limit_bytes()) is None
@@ -363,9 +396,86 @@ def mt_pallas_batched(
         interpret=interpret,
     )
 
+    return _mt_loop(
+        step, value_and_grad, batched_value_and_grad, x0, direction, f0, g0,
+        dginit, alpha_init, max_fev,
+    )
+
+
+def mt_xla_batched(
+    value_and_grad,
+    x0,
+    f0,
+    g0,
+    direction,
+    alpha_init,
+    dginit,
+    max_fev: int = DEFAULT_MAX_FEV,
+    batched_value_and_grad=None,
+):
+    """Batch-native More-Thuente with the trip math as plain XLA ops —
+    :func:`_mt_trip_core` called directly on (B, ·) arrays.
+
+    Same loop structure as the Pallas path but with no backend/dtype/shape
+    gate: this is the fallback for f64 (the MGH reliability suite), CPU, and
+    non-tileable shapes.  Versus ``jax.vmap`` of the single-instance search
+    (the while-batching rule) it saves the rule's broadcast-select over the
+    whole carry every trip — the body freezes terminated lanes itself.
+    """
+    b, n = x0.shape
+    dtype = x0.dtype
+
+    def col(a):
+        return jnp.reshape(a, (b, 1)).astype(dtype)
+
+    def step(x0_, s_, finit_, dgin_, dgtest_, f_t, g_t, *carry_rest):
+        return _mt_trip_core(
+            x0_, s_, finit_, dgin_, dgtest_, f_t, g_t, *carry_rest,
+            max_fev=max_fev,
+        )
+
+    return _mt_loop(
+        step, value_and_grad, batched_value_and_grad, x0, direction, f0, g0,
+        dginit, alpha_init, max_fev,
+    )
+
+
+def _mt_loop(
+    step, value_and_grad, batched_value_and_grad, x0, direction, f0, g0,
+    dginit, alpha_init, max_fev,
+):
+    """Shared batch-level search loop: init carry, eval + step per trip,
+    final selection.  ``step`` is either the Pallas call or the XLA core."""
+    b, n = x0.shape
+    dtype = x0.dtype
+
+    def col(a):
+        return jnp.reshape(a, (b, 1)).astype(dtype)
+
+    finit = col(f0)
+    dgin = col(dginit)
+    dgtest = _FTOL * dgin
+    alpha0 = col(jnp.broadcast_to(jnp.asarray(alpha_init, dtype), (b,)))
+
+    zero = jnp.zeros((b, 1), dtype)
+    zero_i = jnp.zeros((b, 1), jnp.int32)
+    one_i = jnp.ones((b, 1), jnp.int32)
+    no_descent = dgin >= 0.0
+
+    # Trip-0 trial formation (the single body's first top-of-loop pass).
+    stp_t0, stmin0, stmax0 = _trial_setup(
+        alpha0, zero, zero, jnp.zeros((b, 1), jnp.bool_), zero_i, one_i,
+        max_fev,
+    )
+    # Non-descent lanes abort before the first evaluation with alpha kept at
+    # alpha_init (more_thuente.h:152-156).
+    stp0 = jnp.where(no_descent, alpha0, stp_t0)
+    info0 = jnp.where(no_descent, jnp.int32(-1), jnp.int32(0))
+    width0 = jnp.full((b, 1), _STPMAX - _STPMIN, dtype)
+
     init = (
         x0 + stp0 * direction,  # x_trial
-        g0,  # g_acc
+        g0,  # g_acc (non-descent abort lanes return the start gradient)
         finit,  # f_acc
         stp0, stmin0, stmax0,
         zero, finit, dgin,  # stx, fx, dgx
@@ -393,7 +503,7 @@ def mt_pallas_batched(
         outs = step(
             x0, direction, finit, dgin, dgtest, col(f_t), g_t, *carry[1:]
         )
-        return outs
+        return tuple(outs)
 
     final = lax.while_loop(cond, body, init)
     (x_trial, g_acc, f_acc, stp, _stmin, _stmax, _stx, _fx, _dgx, _sty, _fy,
@@ -472,13 +582,15 @@ def _make_mt_op(converted_fn, max_fev: int):
                 batched_value_and_grad=lambda xs: bvag(xs, *consts),
             )
         else:
-            out = jax.vmap(
-                lambda x, f, g, d, a, dg, *c: _mt_single(
-                    lambda xx: converted_fn(xx, *c), max_fev, x, f, g, d, a,
-                    dg,
-                ),
-                in_axes=(0, 0, 0, 0, 0, 0, *const_axes),
-            )(*ops, *consts)
+            # Batch-native XLA loop: same trip core as the kernel, no
+            # while-batching-rule broadcast selects — the f64 (MGH
+            # reliability) and CPU path.
+            out = mt_xla_batched(
+                lambda x: None,
+                *ops,
+                max_fev=max_fev,
+                batched_value_and_grad=lambda xs: bvag(xs, *consts),
+            )
         return out, (True,) * 6
 
     return mt_op
@@ -491,8 +603,8 @@ def batched_more_thuente(
     """More-Thuente as a custom-batching op.
 
     Un-batched calls run the single-instance MINPACK port verbatim; a
-    vmapped call (the batched solve path) swaps in the batch-native fused
-    loop on TPU/f32 (vmapped XLA elsewhere).  ``dginit`` is required — the
+    vmapped call (the batched solve path) swaps in the batch-native loop —
+    Pallas-fused on TPU/f32, plain-XLA elsewhere.  ``dginit`` is required — the
     caller either gets it from the fused L-BFGS prologue or computes the one
     O(n) reduction itself.
     """

@@ -183,11 +183,15 @@ def prologue_pallas_batched(
 
     # Same padding policy as push_two_loop_pallas_batched: sublane quantum
     # only for n; the tile must divide the batch (see _pick_tile_b).
+    # Physical (tile-padded) per-lane bytes: 4 (m, n) history blocks + 6
+    # n-vector blocks (x, g, s_new, y_new in; dir out x2 margin).
     n_pad = _round_up(n, _SUBLANE)
-    bytes_per_lane = 4 * m * n_pad * jnp.dtype(dtype).itemsize
-    from .two_loop import _scoped_vmem_budget
+    from .two_loop import _phys_cols, _phys_rows, _scoped_vmem_budget
 
-    tb = _pick_tile_b(b, bytes_per_lane, _scoped_vmem_budget())
+    bytes_per_lane = (
+        4 * _phys_rows(m) * _phys_cols(n_pad) + 6 * _phys_cols(n_pad)
+    ) * jnp.dtype(dtype).itemsize
+    tb = _pick_tile_b(b, bytes_per_lane, _scoped_vmem_budget(n))
     b_pad = _round_up(b, tb)
 
     def pad_vec(a):
@@ -240,10 +244,11 @@ def prologue_pallas_batched(
         in_specs=[vspec, vspec, mspec, mspec, sspec, sspec, vspec, vspec,
                   sspec, sspec],
         out_specs=(vspec, sspec, sspec, mspec, mspec, sspec, sspec),
-        # Donate the history buffers: the op's HBM traffic for them is one
-        # read + one write (operand indices: s_memory=2, y_memory=3 map to
-        # outputs s_out=3, y_out=4).
-        input_output_aliases={2: 3, 3: 4},
+        # Donate the history buffers (the op's HBM traffic for them is one
+        # read + one write) plus the replaced count/gamma scalars
+        # (operand indices: s_memory=2 -> s_out=3, y_memory=3 -> y_out=4,
+        # mem_count=4 -> count_out=5, gamma=5 -> gamma_out=6).
+        input_output_aliases={2: 3, 3: 4, 4: 5, 5: 6},
         compiler_params=_pltpu_compiler_params(pltpu, _vmem_limit_bytes()),
         interpret=interpret,
     )(xp, g, s, y, cnt, gam, sn, yn, vld, dn)
@@ -514,9 +519,14 @@ def epilogue_pallas_batched(
     dtype = state.x.dtype
 
     n_pad = _round_up(n, _SUBLANE)
-    # Per-lane block bytes: 6 (B, n) inputs + 4 (B, n) outputs.
-    bytes_per_lane = 10 * n_pad * jnp.dtype(dtype).itemsize
-    tb = _pick_tile_b(b, bytes_per_lane, 4 << 20)
+    from .two_loop import _phys_cols
+
+    # Physical per-lane block bytes: 6 (B, n) inputs + 4 (B, n) outputs,
+    # plus ~30 (B, 1) scalar columns that each pad to a full 128-lane tile.
+    bytes_per_lane = (10 * _phys_cols(n_pad) + 30 * 128) * jnp.dtype(
+        dtype
+    ).itemsize
+    tb = _pick_tile_b(b, bytes_per_lane, 16 << 20)
     b_pad = _round_up(b, tb)
 
     def pad_vec(a):
@@ -613,10 +623,17 @@ def epilogue_pallas_batched(
             sspec, sspec, sspec, sspec, sspec, sspec, sspec, sspec,
             rspec, sspec,
         ),
-        # Donate the pending-pair and ring buffers (read-once inputs of
-        # matching shape): s_pend_old=9 -> s_pend out=4, y_pend_old=10 ->
-        # y_pend out=5, past_ring=20 -> ring out=15.
-        input_output_aliases={9: 4, 10: 5, 20: 15},
+        # Donate every dead input into its matching-shape successor — the
+        # prior state (x, f, g, nfev), the pending pair, the ring, and all
+        # progress counters are replaced in the solve carry, so without the
+        # full alias map XLA ping-pong-copies each of them once per outer
+        # iteration.
+        input_output_aliases={
+            0: 0, 1: 1, 2: 2, 3: 3,  # state x/f/g/nfev
+            8: 7, 9: 4, 10: 5, 11: 6,  # count, pending pair, pvalid
+            13: 8, 14: 9, 15: 10, 16: 11, 17: 12, 18: 13, 19: 14,
+            20: 15, 21: 16,  # progress counters + ring + pos
+        },
         compiler_params=_pltpu_compiler_params(
             pltpu,
             # The epilogue's blocks carry no (m, n) history, so the working

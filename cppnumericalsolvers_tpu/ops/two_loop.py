@@ -115,14 +115,6 @@ _SUBLANE = 8  # f32 sublane tile
 # thrashing VMEM.  At n>=256 the VMEM budget below binds first, so the cap
 # only matters in the small-n regime.
 _TILE_B = 1024
-# Per-program VMEM block budget for the fused push+two-loop kernel (S/Y
-# appear as both input and output blocks, so blocks alone are 4mn floats per
-# lane).  v5e sweep at n=1024: tiles capped here to 32 lanes run at 433
-# GB/s; 16 MiB (96 lanes) and beyond degrade or fail to compile outright
-# (the in+out blocks double-buffered plus unrolled-loop temporaries exceed
-# scoped VMEM).  Module-level so the roofline tile sweep can explore it.
-_VMEM_BLOCK_BUDGET = 8 << 20
-
 # Physical VMEM per core by device kind (bytes).  Every production TPU since
 # v4 carries 128 MiB; the per-kernel scoped cap below requests half of it.
 # Unknown/older kinds (v2/v3: 16 MiB) fall back to the Mosaic default cap so
@@ -140,7 +132,7 @@ _PHYSICAL_VMEM = {
 }
 
 
-def _vmem_limit_bytes(default_fraction: float = 0.5) -> int | None:
+def _vmem_limit_bytes(default_fraction: float = 0.75) -> int | None:
     """Per-kernel scoped-VMEM cap for the current device, or None to keep
     the compiler default (16 MiB) on kinds with unknown physical VMEM."""
     try:
@@ -153,14 +145,41 @@ def _vmem_limit_bytes(default_fraction: float = 0.5) -> int | None:
     return int(phys * default_fraction)
 
 
-def _scoped_vmem_budget() -> int:
-    """Block-tile budget consistent with the scoped cap: when the device
-    VMEM is unknown the Mosaic default (16 MiB) binds, so tiles must leave
-    room for double-buffered in+out blocks plus temporaries within it."""
+def _scoped_vmem_budget(n: int) -> int:
+    """Block-tile budget consistent with the scoped cap.  Callers pass
+    PHYSICAL per-lane block bytes (:func:`_phys_cols`/:func:`_phys_rows`) —
+    VMEM tiles pad the last two dims to (8k, 128), which at (m=10, n=32) is
+    a 6.5x multiplier that the round-1..3 logical accounting missed
+    (observed as a 66 MiB scoped OOM at (B=8192, n=32) under the 64 MiB
+    cap once double-buffering kicked in at grid > 1).
+
+    Two regimes, from the round-4 v5e tile sweeps:
+
+    * n <= 64 (latency-bound): 40% of the scoped limit — fat tiles amortize
+      the serial reduction chain (tile 1024 beats 512 by 1.45x at n=32) and
+      the only ceiling is double-buffered VMEM.
+    * n > 64 (bandwidth-bound): ~10 MiB — reproduces the measured-best
+      small tiles (128 @ n=256, 32 @ n=1024, 8 @ n=4096); fatter tiles were
+      re-measured SLOWER under the raised cap (tile 128 @ n=1024: 440 us vs
+      tile 32's 415; tile 32 @ n=4096: 454 vs tile 8's 423) — coarser
+      blocks pipeline DMA/compute worse when bandwidth already binds.
+    """
     limit = _vmem_limit_bytes()
     if limit is None:
-        return min(_VMEM_BLOCK_BUDGET, 2 << 20)
-    return _VMEM_BLOCK_BUDGET
+        limit = 16 << 20  # Mosaic default scoped cap
+    if n <= 64:
+        return int(limit * 0.4)
+    return min(int(limit * 0.4), 10 << 20)
+
+
+def _phys_cols(n: int) -> int:
+    """Lane (minor-dim) footprint of a VMEM tile: padded to 128."""
+    return _round_up(n, 128)
+
+
+def _phys_rows(m: int) -> int:
+    """Sublane (second-minor) footprint of a VMEM tile: padded to 8 (f32)."""
+    return _round_up(m, _SUBLANE)
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -655,8 +674,13 @@ def push_two_loop_pallas_batched(
     # every measured shape — 32 @ n=1024 (433 GB/s), 8 @ n=4096 (436),
     # 128 @ n=256 (249), 512 @ n=32 (80, latency-bound).
     n_pad = _round_up(n, _SUBLANE)
-    bytes_per_lane = 4 * m * n_pad * jnp.dtype(dtype).itemsize
-    tb = _pick_tile_b(b, bytes_per_lane, _scoped_vmem_budget())
+    itemsize = jnp.dtype(dtype).itemsize
+    # Physical (tile-padded) per-lane bytes: 4 (m, n) history blocks
+    # (s/y in+out) + 4 n-vector blocks (g, s_new, y_new, d out).
+    bytes_per_lane = (
+        4 * _phys_rows(m) * _phys_cols(n_pad) + 4 * _phys_cols(n_pad)
+    ) * itemsize
+    tb = _pick_tile_b(b, bytes_per_lane, _scoped_vmem_budget(n))
     b_pad = _round_up(b, tb)
 
     if n_pad == n:

@@ -92,3 +92,32 @@ def test_batched_solve_uses_op_and_matches_generic():
     np.testing.assert_allclose(
         np.asarray(rf.state.x), np.asarray(rg.state.x), rtol=1e-8, atol=1e-8
     )
+
+
+def test_xla_batched_loop_matches_single():
+    """The XLA batch-native loop (the f64/CPU fallback, sharing
+    _mt_trip_core with the Pallas kernel) makes the same decisions as the
+    single-instance MINPACK port."""
+    from cppnumericalsolvers_tpu.ops.fused_linesearch import mt_xla_batched
+
+    vag = jax.value_and_grad(rosen)
+    rng = np.random.default_rng(4)
+    b, n = 24, 10
+    x0 = jnp.asarray(rng.uniform(-2.0, 2.0, (b, n)))
+    f0, g0 = jax.vmap(vag)(x0)
+    d = -g0
+    d = d.at[2].set(g0[2])  # non-descent abort lane
+    alpha = jnp.asarray(rng.uniform(1e-3, 1.5, (b,)))
+    dginit = jnp.sum(g0 * d, axis=-1)
+    want = jax.vmap(functools.partial(_mt_single, vag, 20))(
+        x0, f0, g0, d, alpha, dginit
+    )
+    got = mt_xla_batched(vag, x0, f0, g0, d, alpha, dginit, max_fev=20)
+    np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(want[4]))
+    np.testing.assert_array_equal(np.asarray(got[5]), np.asarray(want[5]))
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[3]), np.asarray(want[3]), rtol=1e-12
+    )

@@ -254,3 +254,23 @@ def test_hessian_condition_solver_independent_lbfgs():
     assert int(res_off.progress.status) != int(
         Status.HESSIAN_CONDITION_VIOLATION
     )
+
+
+def test_oversized_past_clamps_to_ring_capacity():
+    """past > PAST_RING_SIZE degrades to the documented window instead of
+    silently disabling the plateau test (advisor round-3): the one-hot ring
+    read would return 0.0 once past_pos wraps beyond the ring."""
+    from cppnumericalsolvers_tpu.core.progress import (
+        PAST_RING_SIZE,
+        default_stopping,
+    )
+
+    crit = default_stopping(jnp.float64).replace(past=PAST_RING_SIZE + 5)
+    assert int(crit.past) == PAST_RING_SIZE
+    # And a flat objective still terminates via the plateau test.
+    from cppnumericalsolvers_tpu import minimize, objective
+    from cppnumericalsolvers_tpu.solvers import Lbfgs
+
+    flat = objective(lambda x: jnp.sum(0.0 * x) + 1.0, mode="first")
+    r = minimize(flat, jnp.asarray([1.0, -2.0]), Lbfgs(), crit)
+    assert int(r.progress.num_iterations) < 30
