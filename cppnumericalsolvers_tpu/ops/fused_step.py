@@ -120,7 +120,7 @@ def _prologue_kernel(
     valid_ref, done_ref,
     dir_ref, alpha_ref, dginit_ref, s_out_ref, y_out_ref, count_out_ref,
     gamma_out_ref,
-    *, compact=False,
+    *, compact=False, flat_n=None,
 ):
     g = g_ref[:]  # (TB, n)
     dtype = g.dtype
@@ -130,7 +130,7 @@ def _prologue_kernel(
 
     q, count, gamma = _push_two_loop_core(
         g, count_ref[:], gamma_ref[:], valid, snew_ref[:], ynew_ref[:],
-        s_ref, y_ref, s_out_ref, y_out_ref, compact=compact,
+        s_ref, y_ref, s_out_ref, y_out_ref, compact=compact, flat_n=flat_n,
     )
 
     x = x_ref[:]
@@ -225,25 +225,43 @@ def prologue_pallas_batched(
     mat = lambda i: (i, zero, zero)  # noqa: E731
     grid = (b_pad // tb,)
     vspec = pl.BlockSpec((tb, n_pad), vec, memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((tb, 1), vec, memory_space=pltpu.VMEM)
     from .two_loop import COMPACT_N_MAX
 
+    # Flat (tb, m*n) history blocks when the row width is lane-aligned —
+    # removes the m=10 -> 16 sublane DMA scatter (see two_loop.py's flat_n
+    # note); row slices inside the kernel are then free.
+    # Gate by measurement (v5e standalone kernel): flat wins 1.76x at
+    # n=256 (180 -> 102 us) but LOSES ~1.8x at n>=1024 (424 -> 771 us at
+    # (1024,1024)) — very wide lane-dim blocks (tb, 10240+) lower poorly.
+    flat = n_pad % 128 == 0 and n_pad <= 256
+    flat_n = n_pad if flat else None
+    if flat:
+        s = s.reshape(b_pad, m * n_pad)
+        y = y.reshape(b_pad, m * n_pad)
+        hist_shape = (b_pad, m * n_pad)
+        hspec = pl.BlockSpec((tb, m * n_pad), vec, memory_space=pltpu.VMEM)
+    else:
+        hist_shape = (b_pad, m, n_pad)
+        hspec = pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM)
+
     ls_dir, alpha, dginit, s_out, y_out, cnt_out, gam_out = pl.pallas_call(
-        functools.partial(_prologue_kernel, compact=n <= COMPACT_N_MAX),
+        functools.partial(
+            _prologue_kernel, compact=n <= COMPACT_N_MAX, flat_n=flat_n
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((b_pad, n_pad), dtype),
             jax.ShapeDtypeStruct((b_pad, 1), dtype),
             jax.ShapeDtypeStruct((b_pad, 1), dtype),
-            jax.ShapeDtypeStruct((b_pad, m, n_pad), dtype),
-            jax.ShapeDtypeStruct((b_pad, m, n_pad), dtype),
+            jax.ShapeDtypeStruct(hist_shape, dtype),
+            jax.ShapeDtypeStruct(hist_shape, dtype),
             jax.ShapeDtypeStruct((b_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((b_pad, 1), dtype),
         ),
         grid=grid,
-        in_specs=[vspec, vspec, mspec, mspec, sspec, sspec, vspec, vspec,
+        in_specs=[vspec, vspec, hspec, hspec, sspec, sspec, vspec, vspec,
                   sspec, sspec],
-        out_specs=(vspec, sspec, sspec, mspec, mspec, sspec, sspec),
+        out_specs=(vspec, sspec, sspec, hspec, hspec, sspec, sspec),
         # Donate the history buffers (the op's HBM traffic for them is one
         # read + one write) plus the replaced count/gamma scalars
         # (operand indices: s_memory=2 -> s_out=3, y_memory=3 -> y_out=4,
@@ -252,6 +270,9 @@ def prologue_pallas_batched(
         compiler_params=_pltpu_compiler_params(pltpu, _vmem_limit_bytes()),
         interpret=interpret,
     )(xp, g, s, y, cnt, gam, sn, yn, vld, dn)
+    if flat:
+        s_out = s_out.reshape(b_pad, m, n_pad)
+        y_out = y_out.reshape(b_pad, m, n_pad)
     return (
         ls_dir[:b, :n],
         alpha[:b, 0],

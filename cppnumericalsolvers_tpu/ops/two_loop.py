@@ -450,6 +450,7 @@ def _push_two_loop_core(
     g, count, gamma, valid, s_new, y_new,
     s_ref, y_ref, s_out_ref, y_out_ref,
     compact: bool = False,
+    flat_n: int | None = None,
 ):
     """Shared VMEM-resident body: curvature-gated history push streamed into
     the output refs, then both two-loop passes on the updated history.
@@ -463,10 +464,35 @@ def _push_two_loop_core(
     less VMEM data than the Gram triangle, and at large n the kernel is
     bandwidth-bound, not latency-bound).
 
+    ``flat_n`` (static) says the history refs are FLAT (TB, m*n) blocks with
+    row r at lanes [r*n, (r+1)*n) — the layout used when n % 128 == 0: a
+    (TB, m, n) block tiles its last two dims to (16, n) in VMEM, and the
+    m=10 -> 16 sublane padding makes every history DMA scatter at ~60%
+    efficiency (measured: the i/o share of the kernel ran at ~130 GB/s at
+    (1024, 32)); the flat block has no middle dim to pad and its row slices
+    are lane-aligned (n a multiple of 128), so both the DMA and the slices
+    are free.
+
     Used by the fused push+two-loop kernel and by the full L-BFGS prologue
     kernel (ops/fused_step.py) which additionally folds the direction-
     validity fallback and line-search setup into the same residency."""
-    m = s_ref.shape[1]
+    if flat_n is None:
+        m = s_ref.shape[1]
+
+        def row(ref, r):
+            return ref[:, r, :]
+
+        def set_row(ref, r, v):
+            ref[:, r, :] = v
+    else:
+        m = s_ref.shape[1] // flat_n
+
+        def row(ref, r):
+            return ref[:, r * flat_n:(r + 1) * flat_n]
+
+        def set_row(ref, r, v):
+            ref[:, r * flat_n:(r + 1) * flat_n] = v
+
     dtype = g.dtype
     eps = jnp.finfo(dtype).eps
 
@@ -499,17 +525,17 @@ def _push_two_loop_core(
     accept_full = jnp.logical_and(accept, full)
     for r in range(m):
         if r < m - 1:
-            base_s = jnp.where(accept_full, s_ref[:, r + 1, :], s_ref[:, r, :])
-            base_y = jnp.where(accept_full, y_ref[:, r + 1, :], y_ref[:, r, :])
+            base_s = jnp.where(accept_full, row(s_ref, r + 1), row(s_ref, r))
+            base_y = jnp.where(accept_full, row(y_ref, r + 1), row(y_ref, r))
         else:
-            base_s, base_y = s_ref[:, r, :], y_ref[:, r, :]
+            base_s, base_y = row(s_ref, r), row(y_ref, r)
         write = jnp.logical_and(accept, slot == r)
-        s_out_ref[:, r, :] = jnp.where(write, s_new, base_s)
-        y_out_ref[:, r, :] = jnp.where(write, y_new, base_y)
+        set_row(s_out_ref, r, jnp.where(write, s_new, base_s))
+        set_row(y_out_ref, r, jnp.where(write, y_new, base_y))
 
     if compact:
-        s_rows = [s_out_ref[:, r, :] for r in range(m)]
-        y_rows = [y_out_ref[:, r, :] for r in range(m)]
+        s_rows = [row(s_out_ref, r) for r in range(m)]
+        y_rows = [row(y_out_ref, r) for r in range(m)]
         q = _two_loop_compact(g, new_gamma, new_count, s_rows, y_rows)
         return q, new_count, new_gamma
 
@@ -520,8 +546,8 @@ def _push_two_loop_core(
     usables = [None] * m
     q = g
     for r in range(m - 1, -1, -1):
-        s_r = s_out_ref[:, r, :]
-        y_r = y_out_ref[:, r, :]
+        s_r = row(s_out_ref, r)
+        y_r = row(y_out_ref, r)
         active = new_count > r
         denom = jnp.sum(s_r * y_r, axis=-1, keepdims=True)
         usable = jnp.logical_and(active, jnp.abs(denom) >= eps)
@@ -533,8 +559,8 @@ def _push_two_loop_core(
     q = q * new_gamma
 
     for r in range(m):
-        s_r = s_out_ref[:, r, :]
-        y_r = y_out_ref[:, r, :]
+        s_r = row(s_out_ref, r)
+        y_r = row(y_out_ref, r)
         usable = usables[r]
         rho = jnp.where(usable, 1.0 / denoms[r], 0.0)
         beta = rho * jnp.sum(y_r * q, axis=-1, keepdims=True)
@@ -632,15 +658,16 @@ COMPACT_N_MAX = 0
 def _push_two_loop_kernel(
     g_ref, s_ref, y_ref, count_ref, gamma_ref, snew_ref, ynew_ref, valid_ref,
     d_ref, s_out_ref, y_out_ref, count_out_ref, gamma_out_ref,
-    *, compact=False,
+    *, compact=False, flat_n=None,
 ):
-    """One (TB, m, n) block: history push, then both two-loop passes, all in
-    a single VMEM residency.  Per-lane divergence (accept / slot / count) is
-    vector masks; every lane runs the same static m-trip loops."""
+    """One (TB, m, n) — or flat (TB, m*n) — block: history push, then both
+    two-loop passes, all in a single VMEM residency.  Per-lane divergence
+    (accept / slot / count) is vector masks; every lane runs the same
+    static m-trip loops."""
     q, new_count, new_gamma = _push_two_loop_core(
         g_ref[:], count_ref[:], gamma_ref[:], valid_ref[:] != 0,
         snew_ref[:], ynew_ref[:], s_ref, y_ref, s_out_ref, y_out_ref,
-        compact=compact,
+        compact=compact, flat_n=flat_n,
     )
     d_ref[:] = q
     count_out_ref[:] = new_count
@@ -716,20 +743,39 @@ def push_two_loop_pallas_batched(
     mat = lambda i: (i, zero, zero)  # noqa: E731
     if compact is None:
         compact = n <= COMPACT_N_MAX
+    # Flat history layout when the row width is lane-aligned: a (tb, m, n)
+    # block pads m=10 -> 16 sublanes in VMEM and every history DMA scatters
+    # at ~60% efficiency; the bitcast-free (tb, m*n) view has no middle dim
+    # and its row slices are free (see _push_two_loop_core's flat_n note).
+    # Gate by measurement (v5e standalone kernel): flat wins 1.76x at
+    # n=256 (180 -> 102 us) but LOSES ~1.8x at n>=1024 (424 -> 771 us at
+    # (1024,1024)) — very wide lane-dim blocks (tb, 10240+) lower poorly.
+    flat = n_pad % 128 == 0 and n_pad <= 256
+    flat_n = n_pad if flat else None
+    if flat:
+        s = s.reshape(b_pad, m * n_pad)
+        y = y.reshape(b_pad, m * n_pad)
+        hist_shape = (b_pad, m * n_pad)
+        hspec = pl.BlockSpec((tb, m * n_pad), vec, memory_space=pltpu.VMEM)
+    else:
+        hist_shape = (b_pad, m, n_pad)
+        hspec = pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM)
     d, s_out, y_out, cnt_out, gam_out = pl.pallas_call(
-        functools.partial(_push_two_loop_kernel, compact=compact),
+        functools.partial(
+            _push_two_loop_kernel, compact=compact, flat_n=flat_n
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((b_pad, n_pad), dtype),
-            jax.ShapeDtypeStruct((b_pad, m, n_pad), dtype),
-            jax.ShapeDtypeStruct((b_pad, m, n_pad), dtype),
+            jax.ShapeDtypeStruct(hist_shape, dtype),
+            jax.ShapeDtypeStruct(hist_shape, dtype),
             jax.ShapeDtypeStruct((b_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((b_pad, 1), dtype),
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, n_pad), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM),
+            hspec,
+            hspec,
             pl.BlockSpec((tb, 1), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, n_pad), vec, memory_space=pltpu.VMEM),
@@ -738,8 +784,8 @@ def push_two_loop_pallas_batched(
         ],
         out_specs=(
             pl.BlockSpec((tb, n_pad), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, m, n_pad), mat, memory_space=pltpu.VMEM),
+            hspec,
+            hspec,
             pl.BlockSpec((tb, 1), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), vec, memory_space=pltpu.VMEM),
         ),
@@ -750,12 +796,15 @@ def push_two_loop_pallas_batched(
         # exceed the compiler's default 16 MiB scoped-VMEM cap at large n
         # even at the minimum 8-lane tile (observed 16.54M at n=4096);
         # production TPUs carry 128 MiB physical VMEM, so raise the
-        # per-kernel cap (half of physical, per device kind) instead of
-        # spilling to a slower lowering; unknown kinds keep the default cap
-        # with a matching smaller tile budget.
+        # per-kernel cap (see _vmem_limit_bytes) instead of spilling to a
+        # slower lowering; unknown kinds keep the default cap with a
+        # matching smaller tile budget.
         compiler_params=_pltpu_compiler_params(pltpu, _vmem_limit_bytes()),
         interpret=interpret,
     )(g, s, y, cnt, gam, sn, yn, vld)
+    if flat:
+        s_out = s_out.reshape(b_pad, m, n_pad)
+        y_out = y_out.reshape(b_pad, m, n_pad)
     return (
         d[:b, :n],
         s_out[:b, :, :n],

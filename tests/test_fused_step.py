@@ -206,3 +206,42 @@ def test_epilogue_pallas_interpret_matches_xla():
             np.asarray(o), np.asarray(w), rtol=1e-6, atol=1e-6,
             err_msg=f"leaf {i}",
         )
+
+
+def test_prologue_flat_layout_interpret_matches_xla():
+    """The lane-aligned flat (B, m*n) history layout (n % 128 == 0) must be
+    bit-for-bit the same computation as the 3-D layout — only the VMEM
+    tiling changes (ops/two_loop.py flat_n note)."""
+    from cppnumericalsolvers_tpu.ops.fused_step import (
+        _prologue_xla_single,
+        prologue_pallas_batched,
+    )
+
+    rng = np.random.default_rng(7)
+    b, m, n = 16, 5, 128  # n % 128 == 0 -> flat path
+    x = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal((b, m, n)).astype(np.float32) * 0.1)
+    y = jnp.asarray(
+        s + 0.05 * rng.standard_normal((b, m, n)).astype(np.float32)
+    )
+    count = jnp.asarray(rng.integers(0, m + 1, (b,)).astype(np.int32))
+    gamma = jnp.asarray(rng.uniform(0.5, 2.0, (b,)).astype(np.float32))
+    sn = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32) * 0.1)
+    yn = jnp.asarray(
+        sn + 0.05 * rng.standard_normal((b, n)).astype(np.float32)
+    )
+    valid = jnp.asarray(rng.integers(0, 2, (b,)).astype(bool))
+    done = jnp.asarray(rng.integers(0, 2, (b,)).astype(bool))
+
+    want = jax.vmap(_prologue_xla_single)(
+        x, g, s, y, count, gamma, sn, yn, valid, done
+    )
+    got = prologue_pallas_batched(
+        x, g, s, y, count, gamma, sn, yn, valid, done, interpret=True
+    )
+    for i, (w, o) in enumerate(zip(want, got)):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(w), rtol=2e-5, atol=2e-5,
+            err_msg=f"output {i}",
+        )
