@@ -20,10 +20,15 @@ never bind.  The traffic model (per lane, per iteration, in floats):
                         objective's value_and_grad pass (read x, write g)
     driver     ~12n     state selects, s/y diffs, norms, progress machine
 
-Two regimes emerge (and are classified per shape below): at large n the
-step is HBM-bandwidth-bound (utilization is the honest headline); at small
-n it is latency-bound — dozens of O(Bn) VPU ops inside the while_loop body,
-each too small to fill the memory pipeline, plus fixed per-op overhead.
+After round 4's fusions (batch-native line-search loop, full carry
+aliasing) the non-kernel residue is gone: every grid shape is now bound by
+the fused push+two-loop kernel itself, classified per row against the
+committed attainable bound.  At large n the kernel runs at ~52% of peak
+HBM bandwidth (read+write balanced history streaming); at small n it sits
+on a VPU/DMA issue-rate floor — the 2m-step serial reduction chain plus
+the (m=10 -> 16, n=32 -> 128) VMEM tile padding (ablation: at (1024,32)
+~half the kernel is the two serial passes, ~40 us is DMA at ~130 GB/s
+effective).
 
 Usage:
     python benchmarks/roofline.py             # grid + JSON + ROOFLINE.md
