@@ -51,7 +51,7 @@ def reliability_solver():
     return Lbfgs(m=10)
 
 
-def reliability_stopping():
+def reliability_stopping(dtype=jnp.float64):
     # The reference's own guidance (progress.h:414-431): MGH problems with
     # flat valleys (Powell badly scaled, Meyer, Powell singular) need the
     # Conservative preset or the plateau test fires at a non-minimiser.  Its
@@ -60,14 +60,17 @@ def reliability_stopping():
     # deviation (also carried in the output JSON): two x-delta strikes
     # instead of one, inside the reference's own sweep space
     # (CPPOPT_X_DELTA_VIOL, progress.h:372) — the L-BFGS stall-recovery
-    # reset retries a zero-move line search once as steepest descent.
-    return conservative_stopping(jnp.float64).replace(x_delta_violations=2)
+    # reset retries a zero-move line search once as steepest descent.  The
+    # f32 first pass uses the preset's f32-rescaled variant
+    # (core/progress.py conservative_stopping).
+    return conservative_stopping(dtype).replace(x_delta_violations=2)
 
 
-def benchmark_batches(seed: int = 0):
+def benchmark_batches(seed: int = 0, dtype_str: str = "float64"):
     """The 376 distinct benchmark instances (58 distinct analytic problems
     x 6-7 starts each: standard x0, MGH scaled starts, seeded jitters)."""
-    return mgh_benchmark_instances(TOTAL_INSTANCES, seed=seed)
+    return mgh_benchmark_instances(TOTAL_INSTANCES, seed=seed,
+                                   dtype_str=dtype_str)
 
 
 def success_mask(problem, f, ginf, xinf):
@@ -81,12 +84,61 @@ def success_mask(problem, f, ginf, xinf):
 
 
 def fetch_metrics(problem, result):
-    """(ok, nfev, x_final) off a MinimizeResult — forces device completion."""
-    f = np.asarray(result.state.value)
+    """Per-instance record dict off a MinimizeResult — forces device
+    completion.  Keys: ok, nfev, x, f, status, iters."""
+    f = np.asarray(result.state.value, dtype=np.float64)
     ginf = np.max(np.abs(np.asarray(result.state.gradient)), axis=-1)
     xinf = np.max(np.abs(np.asarray(result.state.x)), axis=-1)
     nfev = np.asarray(result.state.nfev, dtype=np.float64)
-    return success_mask(problem, f, ginf, xinf), nfev, np.asarray(result.state.x)
+    return {
+        "problem": problem,
+        "ok": success_mask(problem, f, ginf, xinf),
+        "nfev": nfev,
+        "x": np.asarray(result.state.x),
+        "f": f,
+        "status": np.asarray(result.progress.status, dtype=np.int64),
+        "iters": np.asarray(
+            result.progress.num_iterations, dtype=np.int64
+        ),
+    }
+
+
+def write_instance_artifact(records, path="BENCH_INSTANCES.json"):
+    """Per-instance single-solve results — the regression-attribution
+    artifact (VERDICT round-4 item 7).  One row per (problem, n, start)
+    instance; benchmarks/instance_diff.py compares two such files and names
+    every flipped instance, so a converged-% move between rounds is
+    attributable instead of a mystery."""
+    rows = []
+    for rec in records:
+        p = rec["problem"]
+        for k in range(rec["ok"].size):
+            rows.append({
+                "problem": p.name,
+                "n": int(np.asarray(p.x0).shape[0]),
+                "start": k,
+                "ok": bool(rec["ok"][k]),
+                "nfev": float(rec["nfev"][k]),
+                "f": float(rec["f"][k]),
+                "status": int(rec["status"][k]),
+                "iters": int(rec["iters"][k]),
+            })
+    with open(path, "w") as fh:
+        json.dump({"rows": rows}, fh)
+    return rows
+
+
+def instance_delta_summary(new_path="BENCH_INSTANCES.json"):
+    """Compact flip summary vs the newest committed BENCH_INSTANCES_r*.json
+    (absent on the first round that ships the artifact)."""
+    import glob
+
+    prev = sorted(glob.glob("BENCH_INSTANCES_r*.json"))
+    if not prev:
+        return None
+    from benchmarks.instance_diff import diff_files
+
+    return diff_files(prev[-1], new_path)
 
 
 def polish_records(records, solver, stopping, rounds=POLISH_ROUNDS):
@@ -103,25 +155,26 @@ def polish_records(records, solver, stopping, rounds=POLISH_ROUNDS):
     """
     restarted = 0
     for _ in range(rounds):
-        todo = [i for i, (_, ok, _, _) in enumerate(records) if not ok.all()]
+        todo = [i for i, r in enumerate(records) if not r["ok"].all()]
         if not todo:
             break
         polish = [
             (i, minimize_batched(
-                records[i][0].objective,
-                jnp.asarray(records[i][3]),
+                records[i]["problem"].objective,
+                jnp.asarray(records[i]["x"]),
                 solver,
                 stopping,
             ))
             for i in todo
         ]
         for i, result in polish:
-            problem, ok, nfev, _ = records[i]
-            new_ok, new_nfev, new_x = fetch_metrics(problem, result)
-            bad = ~ok
+            rec = records[i]
+            new = fetch_metrics(rec["problem"], result)
+            bad = ~rec["ok"]
             restarted += int(bad.sum())
-            nfev[bad] += new_nfev[bad]
-            records[i] = [problem, ok | new_ok, nfev, new_x]
+            rec["nfev"][bad] += new["nfev"][bad]
+            rec["ok"] = rec["ok"] | new["ok"]
+            rec["x"] = new["x"]
     return restarted
 
 
@@ -160,22 +213,25 @@ def run_reliability():
             problem.objective, jnp.asarray(starts), solver, stopping))
         for problem, starts in batches
     ]
-    records = []  # [problem, ok, nfev, x_final]
-    for problem, result in pending:
-        ok, nfev, x = fetch_metrics(problem, result)
-        records.append([problem, ok, nfev, x])
+    records = [
+        fetch_metrics(problem, result) for problem, result in pending
+    ]
+
+    # Per-instance artifact for round-over-round regression attribution
+    # (VERDICT round-4 item 7): single-solve results, the primary metric.
+    write_instance_artifact(records)
 
     # PRIMARY metric: single-solve results, the reference's own protocol.
-    single_converged = sum(int(ok.sum()) for _, ok, _, _ in records)
-    total = sum(ok.size for _, ok, _, _ in records)
-    single_nfev = sum(float(nfev.sum()) for _, _, nfev, _ in records)
+    single_converged = sum(int(r["ok"].sum()) for r in records)
+    total = sum(r["ok"].size for r in records)
+    single_nfev = sum(float(r["nfev"].sum()) for r in records)
 
     # SECONDARY metric: up to POLISH_ROUNDS restarts of failed lanes.
     restarted = polish_records(records, solver, stopping)
     solve_wall = time.perf_counter() - t0
 
-    polished_converged = sum(int(ok.sum()) for _, ok, _, _ in records)
-    polished_nfev = sum(float(nfev.sum()) for _, _, nfev, _ in records)
+    polished_converged = sum(int(r["ok"].sum()) for r in records)
+    polished_nfev = sum(float(r["nfev"].sum()) for r in records)
     return {
         "converged_pct_single_solve": 100.0 * single_converged / total,
         "converged_pct_with_restarts": 100.0 * polished_converged / total,
@@ -253,6 +309,7 @@ def main():
     rel = run_reliability()
     thr = run_throughput()
     grid = run_perf_grid()
+    delta = instance_delta_summary()
     out = {
         # PRIMARY: single-solve convergence — the reference's own protocol
         # (README.md:6-11 is a single-run benchmark).
@@ -286,6 +343,15 @@ def main():
         "perf_grid": grid["perf_grid"],
         "backend": jax.default_backend(),
     }
+    if delta is not None:
+        # Per-instance attribution vs the previous round's committed
+        # artifact (BENCH_INSTANCES_r*.json; full rows in
+        # BENCH_INSTANCES.json, comparer: benchmarks/instance_diff.py).
+        out["instance_delta"] = {
+            "baseline": delta["baseline"],
+            "flipped_to_fail": delta["to_fail"],
+            "flipped_to_ok": delta["to_ok"],
+        }
     print(json.dumps(out))
 
 

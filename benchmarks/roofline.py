@@ -338,10 +338,22 @@ def analyze_shape(row, peak_gbps, kernel_us=None, eval_us=None):
     if kernel_us is None:
         kernel_us = row.get("kernel_us")
     if kernel_us is None:
+        # Advisor round-4: this fallback runs a 220-solve scanned device
+        # measurement — make it loud so callers know where minutes went.
+        print(
+            f"[roofline] measuring standalone kernel floor at "
+            f"(B={row['batch']}, n={row['n']})...",
+            file=sys.stderr, flush=True,
+        )
         kernel_us = measure_kernel_standalone(row["batch"], row["n"]) * 1e6
     if eval_us is None:
         eval_us = row.get("eval_us")
     if eval_us is None:
+        print(
+            f"[roofline] measuring standalone eval floor at "
+            f"(B={row['batch']}, n={row['n']})...",
+            file=sys.stderr, flush=True,
+        )
         eval_us = measure_eval_standalone(row["batch"], row["n"]) * 1e6
     row["kernel_us"] = kernel_us
     row["eval_us"] = eval_us
@@ -590,11 +602,7 @@ def main():
     )
     op_tables = None
     if args.profile:
-        import contextlib
-        import io
-
-        from trace_table import load_device_events, summarize  # noqa: F401
-        import trace_table
+        from trace_table import format_table
 
         op_tables = []
         for batch, n in grid:
@@ -602,16 +610,11 @@ def main():
                 os.path.dirname(os.path.abspath(__file__)),
                 "..", "profiles", f"lbfgs_b{batch}_n{n}",
             )
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                sys.argv = ["trace_table", cdir, "--top", "12"]
-                try:
-                    trace_table.main()
-                except SystemExit:
-                    continue
-            op_tables.append(
-                (f"(B={batch}, n={n})", buf.getvalue().strip())
-            )
+            try:
+                table = format_table(cdir, top=12)
+            except SystemExit:
+                continue
+            op_tables.append((f"(B={batch}, n={n})", table.strip()))
     write_markdown(rows, peak, kind, md_path, sharded, op_tables)
     print(
         json.dumps(

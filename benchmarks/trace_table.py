@@ -66,16 +66,14 @@ def summarize(events, top=15):
     return agg, cnt
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("capture_dir")
-    ap.add_argument("--iters", type=int, default=0,
-                    help="outer iterations in the traced run (for per-iter "
-                         "columns); 0 = skip")
-    ap.add_argument("--top", type=int, default=14)
-    args = ap.parse_args()
+def format_table(capture_dir: str, top: int = 14, iters: int = 0) -> str:
+    """Markdown op-time table for one capture directory.
 
-    events = load_device_events(args.capture_dir)
+    Callable API (advisor round-4: roofline.py used to invoke :func:`main`
+    by mutating ``sys.argv``, clobbering the process argv for anything
+    after it) — both the CLI below and benchmarks/roofline.py call this.
+    """
+    events = load_device_events(capture_dir)
     agg, cnt = summarize(events)
 
     # Loop/program wrapper events envelop their children and would
@@ -90,9 +88,11 @@ def main():
         )
 
     total = sum(d for n, d in agg.items() if not is_wrapper(n))
-    print(f"| op | total ms | % of device | count |"
-          + (" us/outer-iter |" if args.iters else ""))
-    print("|---|---|---|---|" + ("---|" if args.iters else ""))
+    lines = [
+        "| op | total ms | % of device | count |"
+        + (" us/outer-iter |" if iters else ""),
+        "|---|---|---|---|" + ("---|" if iters else ""),
+    ]
     shown = 0
     for name, dur in agg.most_common():
         if is_wrapper(name):
@@ -101,13 +101,27 @@ def main():
             f"| {name[:60]} | {dur / 1e3:.1f} | {100 * dur / total:.1f}% | "
             f"{cnt[name]} |"
         )
-        if args.iters:
-            row += f" {dur / args.iters:.1f} |"
-        print(row)
+        if iters:
+            row += f" {dur / iters:.1f} |"
+        lines.append(row)
         shown += 1
-        if shown >= args.top:
+        if shown >= top:
             break
-    print(f"\n(total device time across counted ops: {total / 1e3:.1f} ms)")
+    lines.append(
+        f"\n(total device time across counted ops: {total / 1e3:.1f} ms)"
+    )
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("capture_dir")
+    ap.add_argument("--iters", type=int, default=0,
+                    help="outer iterations in the traced run (for per-iter "
+                         "columns); 0 = skip")
+    ap.add_argument("--top", type=int, default=14)
+    args = ap.parse_args()
+    print(format_table(args.capture_dir, top=args.top, iters=args.iters))
 
 
 if __name__ == "__main__":

@@ -17,7 +17,16 @@ best-seen-sample fallback (hager_zhang.h:317-329, :342-355, :444-455).
 Each sample carries its full gradient vector so every acceptance path
 returns the accepted evaluation's own ``(f, g)`` workspace — the reference's
 state threading (hager_zhang.h:444-455) — with no extra evaluation; nfev
-matches the C++ exactly (the round-2/3 +1-eval deviation is removed)."""
+matches the C++ exactly (the round-2/3 +1-eval deviation is removed).
+
+Batched-cost note: because ``_Trip`` carries the (n,) gradient and the
+bracket/shrink loops hold ~5 trips in their carry, a *vmapped* HZ search
+pays the while-batching broadcast-select over O(5*B*n) state per trip — the
+cost the batch-native More-Thuente loop removes.  The batched solve path
+therefore routes HZ through the batch-native loop in
+ops/fused_linesearch_hz.py (one while_loop at batch level, masked lanes);
+this module remains the single-instance oracle it is parity-tested against.
+"""
 
 from __future__ import annotations
 

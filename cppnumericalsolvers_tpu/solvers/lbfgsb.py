@@ -452,23 +452,40 @@ class Lbfgsb(SolverBase):
         s_dot_y = jnp.vdot(new_s, new_y)
         accept = s_dot_y > 1e-7 * jnp.vdot(new_y, new_y)
 
-        s_history = jnp.roll(internals.s_history, -1, axis=0).at[-1].set(new_s)
-        y_history = jnp.roll(internals.y_history, -1, axis=0).at[-1].set(new_y)
-        count = jnp.minimum(internals.count + 1, self.m)
-        theta = jnp.vdot(new_y, new_y) / s_dot_y
+        # The whole rebuild — roll, theta, MM assembly, and the O(m^3) LU —
+        # is gated on ``accept`` exactly like the reference (lbfgsb.h:
+        # 209-235 rebuilds only inside the acceptance branch): a rejected
+        # step pays nothing.  Under vmap the cond lowers to a select that
+        # runs both branches (lane divergence is inherent to SIMT batching),
+        # matching the previous unconditional-compute behaviour there.
+        def _accepted():
+            s_h = jnp.roll(internals.s_history, -1, axis=0).at[-1].set(new_s)
+            y_h = jnp.roll(internals.y_history, -1, axis=0).at[-1].set(new_y)
+            cnt = jnp.minimum(internals.count + 1, self.m)
+            # Safe: the branch only runs (or is selected) when accept, which
+            # implies s_dot_y > 0.
+            th = jnp.vdot(new_y, new_y) / s_dot_y
+            middle = _build_middle(s_h, y_h, cnt, th, self.m)
+            lu, piv = jax.scipy.linalg.lu_factor(middle)
+            return s_h, y_h, cnt, th, lu, piv
 
-        # Factor MM once per outer step and store the LU (lbfgsb.h:229-235);
-        # the next step's Cauchy walk / subspace solves are then O(m^2) each.
-        middle = _build_middle(s_history, y_history, count, theta, self.m)
-        middle_lu, middle_piv = jax.scipy.linalg.lu_factor(middle)
+        def _rejected():
+            return (
+                internals.s_history, internals.y_history, internals.count,
+                internals.theta, internals.middle_lu, internals.middle_piv,
+            )
+
+        s_history, y_history, count, theta, middle_lu, middle_piv = lax.cond(
+            accept, _accepted, _rejected
+        )
 
         new_internals = LbfgsbInternals(
-            s_history=jnp.where(accept, s_history, internals.s_history),
-            y_history=jnp.where(accept, y_history, internals.y_history),
-            count=jnp.where(accept, count, internals.count),
-            theta=jnp.where(accept, theta, internals.theta),
-            middle_lu=jnp.where(accept, middle_lu, internals.middle_lu),
-            middle_piv=jnp.where(accept, middle_piv, internals.middle_piv),
+            s_history=s_history,
+            y_history=y_history,
+            count=count,
+            theta=theta,
+            middle_lu=middle_lu,
+            middle_piv=middle_piv,
             projected_gradient_norm=proj_norm,
             lower=internals.lower,
             upper=internals.upper,

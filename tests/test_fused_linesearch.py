@@ -72,9 +72,12 @@ def test_non_descent_lane_returns_start():
 
 
 def test_batched_solve_uses_op_and_matches_generic():
-    """End-to-end: minimize_batched routes More-Thuente through the
-    custom_vmap op (XLA fallback on CPU) and must keep full trajectory
-    parity with the pre-fusion composition."""
+    """End-to-end consistency of the two two-loop lowerings: both configs
+    route the line search through the batch-native custom_vmap op, so this
+    is a two-loop-impl ("auto" fused vs "xla") trajectory-parity check, NOT
+    fused-vs-oracle evidence (a bug shared by both sides would pass).  The
+    fused-vs-oracle claim rests on the _mt_single parity tests above, which
+    pit the batch-native loop against the single-instance MINPACK port."""
     from cppnumericalsolvers_tpu import minimize_batched, objective
     from cppnumericalsolvers_tpu.solvers import Lbfgs
 
