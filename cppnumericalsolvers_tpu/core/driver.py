@@ -81,6 +81,41 @@ class SolverBase:
     def init(self, objective: Objective, state: FunctionState) -> Any:
         raise NotImplementedError
 
+    def supports_batched_native(
+        self, objective: Objective, x0_batch: jax.Array
+    ) -> bool:
+        """Whether this solver provides a *directly batched* hot path —
+        :meth:`init_batched` + :meth:`batched_step_and_update` operating on
+        (B, ...) arrays with solver-chosen internal storage layouts.
+
+        This exists because layout is a batch-level decision: the
+        transposed (batch-minor) L-BFGS history that fixes the small-n
+        kernel floor (ops/fused_step_t.py) cannot be expressed through
+        ``vmap`` of a per-lane step — ``custom_vmap`` canonicalizes the
+        batch to axis 0, which would force a full history transpose every
+        iteration.  Decision inputs (backend, dtype, (B, n)) are all
+        trace-time static."""
+        del objective, x0_batch
+        return False
+
+    def init_batched(self, objective: Objective, state: FunctionState) -> Any:
+        raise NotImplementedError
+
+    def batched_step_and_update(
+        self,
+        objective: Objective,
+        state: FunctionState,
+        internals: Any,
+        progress: ProgressState,
+        stopping: StoppingCriteria,
+        done: jax.Array,
+    ) -> tuple[FunctionState, Any, ProgressState]:
+        """Batched analog of :meth:`step_and_update`: all arguments carry a
+        leading batch axis except ``stopping`` (uniform scalars).  Must be
+        semantically identical to ``vmap`` of the per-lane composition
+        (parity-tested per solver)."""
+        raise NotImplementedError
+
     def supports_fused_update(self, objective: Objective) -> bool:
         """Whether :meth:`step_and_update` may replace the driver's generic
         ``step`` + ``update_progress`` + freeze composition for this
@@ -347,12 +382,56 @@ def _solve_one_jit(
     )
 
 
+def _solve_loop_batched_native(
+    objective: Objective,
+    solver: SolverBase,
+    state0: FunctionState,
+    internals0: Any,
+    stopping: StoppingCriteria,
+) -> MinimizeResult:
+    """Directly batched driver: the solver's own batched step (no vmap at
+    all), so internal storage layouts are the solver's choice — see
+    :meth:`SolverBase.supports_batched_native`."""
+    batch = state0.value.shape[0]
+    dtype = state0.value.dtype
+    stopping_inner = solver.transform_stopping(stopping)
+
+    def body(carry):
+        state, internals, progress = carry
+        done = progress.status != int(Status.CONTINUE)
+        return solver.batched_step_and_update(
+            objective, state, internals, progress, stopping_inner, done
+        )
+
+    def cond(carry):
+        _, _, progress = carry
+        return jnp.any(progress.status == int(Status.CONTINUE))
+
+    progress0 = jax.vmap(lambda _: init_progress(dtype))(jnp.arange(batch))
+    state, internals, progress = lax.while_loop(
+        cond, body, (state0, internals0, progress0)
+    )
+    return MinimizeResult(
+        state=state, progress=progress, internals=internals, trace=None
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("objective", "solver", "trace", "compute_cond_h")
 )
 def _solve_batched_jit(objective, x0_batch, solver, stopping, trace=0,
                        internals=None, compute_cond_h=False):
     state0 = jax.vmap(lambda x0: objective.evaluate(x0, nfev=0))(x0_batch)
+    if (
+        internals is None
+        and trace == 0
+        and not compute_cond_h
+        and solver.supports_batched_native(objective, x0_batch)
+    ):
+        return _solve_loop_batched_native(
+            objective, solver, state0,
+            solver.init_batched(objective, state0), stopping,
+        )
     internals0 = (
         jax.vmap(lambda s: solver.init(objective, s))(state0)
         if internals is None

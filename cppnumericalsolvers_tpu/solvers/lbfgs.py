@@ -49,6 +49,24 @@ from ..ops.two_loop import (
 __all__ = ["Lbfgs", "LbfgsInternals", "two_loop_direction"]
 
 
+class LbfgsInternalsT(NamedTuple):
+    """Batched-native internals with the history in the batch-minor
+    (transposed) storage layout of ops/fused_step_t.py: ``(m * n8, B_pad)``
+    with the batch in the TPU lane dimension.  Produced by
+    :meth:`Lbfgs.init_batched` on the batched TPU/f32 path; convert with
+    ``ops.fused_step_t.history_t_to_rows`` for export.  Field names shared
+    with :class:`LbfgsInternals` (``mem_count``, ``pending_valid``, ...)
+    keep result introspection uniform across paths."""
+
+    s_memory_t: jax.Array  # (m*n8, B_pad) x-diff history, batch-minor
+    y_memory_t: jax.Array  # (m*n8, B_pad)
+    mem_count: jax.Array  # (B,) int32
+    gamma: jax.Array  # (B,)
+    s_pending: jax.Array  # (B, n)
+    y_pending: jax.Array  # (B, n)
+    pending_valid: jax.Array  # (B,) bool
+
+
 class LbfgsInternals(NamedTuple):
     """Correction history in CHRONOLOGICAL layout: row 0 is the oldest valid
     correction, row ``mem_count - 1`` the newest.  The reference keeps a
@@ -104,6 +122,108 @@ class Lbfgs(SolverBase):
         under GSPMD sharding."""
         del objective
         return self.two_loop_impl == "auto" and not self.use_hessian_preconditioner
+
+    #: Largest n routed through the batch-minor (transposed) storage layout
+    #: on the batched TPU path.  v5e per-batched-iteration measurements
+    #: (round 5, full solve): (1024, 32) 162.4 -> 94.8 us (1.71x),
+    #: (1024, 256) 185.8 -> 124.1 us, (1024, 512) 334.8 -> 250.8 us,
+    #: (1024, 1024) 612.3 -> 478.0 us; at (256, 4096) the two layouts tie
+    #: (602 vs 600 us — both HBM-bandwidth-bound), so large n stays on the
+    #: proven batch-major flat kernel.  See ops/fused_step_t.py.
+    _TRANSPOSED_N_MAX = 1024
+
+    def supports_batched_native(self, objective, x0_batch) -> bool:
+        """The batched-native transposed path: TPU, f32, the fused-update
+        configuration, the default More-Thuente search, and a batch wide
+        enough (>= 128 lanes) that batch-minor layout pays."""
+        if not self.supports_fused_update(objective):
+            return False
+        if self.line_search != "more_thuente":
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        b, n = x0_batch.shape
+        return (
+            x0_batch.dtype == jnp.float32
+            and b >= 128
+            and n <= self._TRANSPOSED_N_MAX
+        )
+
+    def init_batched(self, objective, state):
+        from ..ops.fused_step_t import make_history_t
+
+        b, n = state.x.shape
+        dtype = state.x.dtype
+        return LbfgsInternalsT(
+            s_memory_t=make_history_t(b, self.m, n, dtype),
+            y_memory_t=make_history_t(b, self.m, n, dtype),
+            mem_count=jnp.zeros((b,), jnp.int32),
+            gamma=jnp.ones((b,), dtype),
+            s_pending=jnp.zeros((b, n), dtype),
+            y_pending=jnp.zeros((b, n), dtype),
+            pending_valid=jnp.zeros((b,), jnp.bool_),
+        )
+
+    def batched_step_and_update(
+        self, objective, state, internals, progress, stopping, done
+    ):
+        """One batched L-BFGS iteration on the transposed storage layout:
+        transposed prologue kernel -> batch-native More-Thuente -> epilogue
+        kernel.  Semantically the same composition as
+        :meth:`step_and_update` (parity-tested, tests/test_fused_step_t.py);
+        only storage layout and reduction axes differ."""
+        from ..ops.fused_linesearch import mt_pallas_batched, mt_xla_batched
+        from ..ops.fused_step import lbfgs_epilogue
+        from ..ops.fused_step_t import prologue_t_pallas_batched
+
+        b, n = state.x.shape
+        ls_dir, alpha_init, dginit, s_t, y_t, count, gamma = (
+            prologue_t_pallas_batched(
+                state.x,
+                state.gradient,
+                internals.s_memory_t,
+                internals.y_memory_t,
+                internals.mem_count,
+                internals.gamma,
+                internals.s_pending,
+                internals.y_pending,
+                internals.pending_valid,
+                done,
+            )
+        )
+        bvag = jax.vmap(objective.value_and_grad)
+        search = (
+            mt_pallas_batched if (n % 8 == 0 and b % 8 == 0)
+            else mt_xla_batched
+        )
+        ls_x, ls_f, ls_g, _alpha, ls_nfev, _info = search(
+            objective.value_and_grad,
+            state.x,
+            state.value,
+            state.gradient,
+            ls_dir,
+            alpha_init,
+            dginit,
+            max_fev=self.max_linesearch_fev,
+            batched_value_and_grad=bvag,
+        )
+        new_state, s_pend, y_pend, pvalid, count_out, new_progress = (
+            jax.vmap(
+                lbfgs_epilogue, in_axes=(0,) * 10 + (0, None)
+            )(state, ls_x, ls_f, ls_g, ls_nfev, count,
+              internals.s_pending, internals.y_pending,
+              internals.pending_valid, done, progress, stopping)
+        )
+        new_internals = LbfgsInternalsT(
+            s_memory_t=s_t,
+            y_memory_t=y_t,
+            mem_count=count_out,
+            gamma=gamma,
+            s_pending=s_pend,
+            y_pending=y_pend,
+            pending_valid=pvalid,
+        )
+        return new_state, new_internals, new_progress
 
     def step_and_update(
         self,
