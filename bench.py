@@ -83,24 +83,53 @@ def success_mask(problem, f, ginf, xinf):
     return np.isfinite(f) & (grad_ok | f_ok)
 
 
-def fetch_metrics(problem, result):
-    """Per-instance record dict off a MinimizeResult — forces device
-    completion.  Keys: ok, nfev, x, f, status, iters."""
-    f = np.asarray(result.state.value, dtype=np.float64)
-    ginf = np.max(np.abs(np.asarray(result.state.gradient)), axis=-1)
-    xinf = np.max(np.abs(np.asarray(result.state.x)), axis=-1)
-    nfev = np.asarray(result.state.nfev, dtype=np.float64)
+def _result_arrays(result):
+    """The device arrays one reliability record needs (see fetch_all)."""
+    return (
+        result.state.value,
+        result.state.gradient,
+        result.state.x,
+        result.state.nfev,
+        result.progress.status,
+        result.progress.num_iterations,
+    )
+
+
+def _make_record(problem, fetched):
+    value, gradient, x, nfev, status, iters = fetched
+    f = np.asarray(value, dtype=np.float64)
+    ginf = np.max(np.abs(np.asarray(gradient)), axis=-1)
+    xinf = np.max(np.abs(np.asarray(x)), axis=-1)
     return {
         "problem": problem,
         "ok": success_mask(problem, f, ginf, xinf),
-        "nfev": nfev,
-        "x": np.asarray(result.state.x),
+        "nfev": np.asarray(nfev, dtype=np.float64),
+        "x": np.asarray(x),
         "f": f,
-        "status": np.asarray(result.progress.status, dtype=np.int64),
-        "iters": np.asarray(
-            result.progress.num_iterations, dtype=np.int64
-        ),
+        "status": np.asarray(status, dtype=np.int64),
+        "iters": np.asarray(iters, dtype=np.int64),
     }
+
+
+def fetch_all(pending):
+    """Per-instance record dicts for a list of (problem, MinimizeResult).
+
+    ONE ``jax.device_get`` for the whole list: through the remote-device
+    tunnel every blocking host fetch costs ~50-100 ms of round-trip
+    latency, so fetching 58 problems' results field-by-field (~350 blocking
+    pulls) costs ~35 s of pure latency against ~5 s of actual device solve
+    time — measured round 5; this was most of rounds 1-4's
+    "reliability_solve_s"."""
+    arrays = jax.device_get([_result_arrays(r) for _, r in pending])
+    return [
+        _make_record(problem, fetched)
+        for (problem, _), fetched in zip(pending, arrays)
+    ]
+
+
+def fetch_metrics(problem, result):
+    """Single-result convenience wrapper over :func:`fetch_all`."""
+    return fetch_all([(problem, result)])[0]
 
 
 def write_instance_artifact(records, path="BENCH_INSTANCES.json"):
@@ -113,7 +142,7 @@ def write_instance_artifact(records, path="BENCH_INSTANCES.json"):
     for rec in records:
         p = rec["problem"]
         for k in range(rec["ok"].size):
-            rows.append({
+            row = {
                 "problem": p.name,
                 "n": int(np.asarray(p.x0).shape[0]),
                 "start": k,
@@ -122,7 +151,11 @@ def write_instance_artifact(records, path="BENCH_INSTANCES.json"):
                 "f": float(rec["f"][k]),
                 "status": int(rec["status"][k]),
                 "iters": int(rec["iters"][k]),
-            })
+            }
+            if "stage" in rec:
+                # 0 = f32 sufficed, 1 = f64 fallback solved this instance.
+                row["stage"] = int(rec["stage"][k])
+            rows.append(row)
     with open(path, "w") as fh:
         json.dump({"rows": rows}, fh)
     return rows
@@ -159,7 +192,7 @@ def polish_records(records, solver, stopping, rounds=POLISH_ROUNDS):
         if not todo:
             break
         polish = [
-            (i, minimize_batched(
+            (records[i]["problem"], minimize_batched(
                 records[i]["problem"].objective,
                 jnp.asarray(records[i]["x"]),
                 solver,
@@ -167,9 +200,9 @@ def polish_records(records, solver, stopping, rounds=POLISH_ROUNDS):
             ))
             for i in todo
         ]
-        for i, result in polish:
+        news = fetch_all(polish)
+        for i, new in zip(todo, news):
             rec = records[i]
-            new = fetch_metrics(rec["problem"], result)
             bad = ~rec["ok"]
             restarted += int(bad.sum())
             rec["nfev"][bad] += new["nfev"][bad]
@@ -179,29 +212,51 @@ def polish_records(records, solver, stopping, rounds=POLISH_ROUNDS):
 
 
 def precompile(batches, solver, stopping):
-    """Pre-compile all per-problem programs concurrently: 58 distinct
-    (objective, n, B) programs dominate wall time when compiled lazily in
-    sequence; the compile service parallelizes across threads."""
+    """Pre-compile AND pre-load all per-problem programs: 58 distinct
+    (objective, n, B) programs dominate wall time when handled lazily.
+    The warm call is the EXACT solve call (``minimize_batched`` on a
+    zero batch of the same shape): measured round 5, warming through
+    ``.lower().compile()`` or the inner jit left the real pass paying
+    ~0.65 s per program (~38 s across the suite) of first-dispatch
+    compile/load cost through the remote-device tunnel; warming through
+    the identical call path reduces the timed pass to ~2 s."""
     from concurrent.futures import ThreadPoolExecutor
-
-    from cppnumericalsolvers_tpu.core.driver import _solve_batched_jit
 
     def _warm(args):
         problem, starts = args
-        _solve_batched_jit.lower(
-            problem.objective, jnp.asarray(starts), solver, stopping
-        ).compile()
+        z = jnp.zeros_like(jnp.asarray(starts))
+        return minimize_batched(
+            problem.objective, z, solver, stopping
+        ).state.nfev
 
     with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(_warm, batches))
+        warm = list(pool.map(_warm, batches))
+    jax.device_get(warm)  # block until every executable has run once
 
 
 def run_reliability():
+    """TPU-native precision strategy (VERDICT round-4 item 4): every
+    instance is first solved in float32 on the fused TPU path; instances
+    that miss the success contract are re-solved in float64 (software-
+    emulated on TPU) from their ORIGINAL starts, with both attempts' nfev
+    billed.  The per-instance precision stage is recorded in the artifact
+    (0 = f32 sufficed, 1 = f64 fallback).  The f64-only protocol of rounds
+    1-4 is reproducible by setting the CPPNS_BENCH_F64_ONLY env var."""
+    import os
+
+    f64_only = bool(os.environ.get("CPPNS_BENCH_F64_ONLY"))
     solver = reliability_solver()
-    stopping = reliability_stopping()
+    stopping32 = reliability_stopping(jnp.float32)
+    stopping64 = reliability_stopping(jnp.float64)
+
     t0 = time.perf_counter()
-    batches = benchmark_batches()
-    precompile(batches, solver, stopping)
+    batches64 = benchmark_batches()
+    if f64_only:
+        batches32, first_stopping = batches64, stopping64
+    else:
+        batches32 = benchmark_batches(dtype_str="float32")
+        first_stopping = stopping32
+    precompile(batches32, solver, first_stopping)
     compile_wall = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -210,31 +265,75 @@ def run_reliability():
     # while_loop.
     pending = [
         (problem, minimize_batched(
-            problem.objective, jnp.asarray(starts), solver, stopping))
-        for problem, starts in batches
+            problem.objective, jnp.asarray(starts), solver, first_stopping))
+        for problem, starts in batches32
     ]
-    records = [
-        fetch_metrics(problem, result) for problem, result in pending
-    ]
+    records = fetch_all(pending)
+    for rec in records:
+        rec["stage"] = np.zeros(rec["ok"].size, np.int64)
+    f32_converged = sum(int(r["ok"].sum()) for r in records)
+    f32_wall = time.perf_counter() - t0
+
+    # --- f64 fallback pass over problems with any failed instance --------
+    resolved_f64 = 0
+    f64_wall = 0.0
+    fail_idx = (
+        [] if f64_only
+        else [i for i, r in enumerate(records) if not r["ok"].all()]
+    )
+    if fail_idx:
+        tc = time.perf_counter()
+        precompile([batches64[i] for i in fail_idx], solver, stopping64)
+        compile_wall += time.perf_counter() - tc
+
+        tf = time.perf_counter()
+        pending64 = [
+            (batches64[i][0], minimize_batched(
+                batches64[i][0].objective,
+                jnp.asarray(batches64[i][1]),
+                solver,
+                stopping64,
+            ))
+            for i in fail_idx
+        ]
+        news = fetch_all(pending64)
+        for i, new in zip(fail_idx, news):
+            rec = records[i]
+            bad = ~rec["ok"]
+            for key in ("ok", "f", "status", "iters"):
+                rec[key] = np.where(bad, new[key], rec[key])
+            rec["x"] = np.where(bad[:, None], new["x"], rec["x"])
+            # Honest accounting: a fallback instance pays its failed f32
+            # attempt PLUS the f64 solve.
+            rec["nfev"] = rec["nfev"] + np.where(bad, new["nfev"], 0.0)
+            rec["stage"] = np.where(bad, 1, rec["stage"])
+            resolved_f64 += int((bad & new["ok"]).sum())
+        f64_wall = time.perf_counter() - tf
 
     # Per-instance artifact for round-over-round regression attribution
-    # (VERDICT round-4 item 7): single-solve results, the primary metric.
+    # (VERDICT round-4 item 7): single-solve (f32 + f64-fallback) results.
     write_instance_artifact(records)
 
-    # PRIMARY metric: single-solve results, the reference's own protocol.
+    # PRIMARY metric: one solve attempt per precision stage, no restarts.
     single_converged = sum(int(r["ok"].sum()) for r in records)
     total = sum(r["ok"].size for r in records)
     single_nfev = sum(float(r["nfev"].sum()) for r in records)
 
     # SECONDARY metric: up to POLISH_ROUNDS restarts of failed lanes.
-    restarted = polish_records(records, solver, stopping)
-    solve_wall = time.perf_counter() - t0
+    tp = time.perf_counter()
+    restarted = polish_records(records, solver, stopping64)
+    polish_wall = time.perf_counter() - tp
+    solve_wall = f32_wall + f64_wall + polish_wall
 
     polished_converged = sum(int(r["ok"].sum()) for r in records)
     polished_nfev = sum(float(r["nfev"].sum()) for r in records)
     return {
         "converged_pct_single_solve": 100.0 * single_converged / total,
         "converged_pct_with_restarts": 100.0 * polished_converged / total,
+        "converged_pct_f32_only": 100.0 * f32_converged / total,
+        "instances_resolved_in_f64": resolved_f64,
+        "instances_attempted_in_f64": total - f32_converged,
+        "precision": "f64" if f64_only else "f32+f64_fallback",
         "total_instances": total,
         "distinct_problems": len(records),
         "mean_nfev_single_solve": single_nfev / total,
@@ -243,6 +342,8 @@ def run_reliability():
         "polish_restarted_instances": restarted,
         "reliability_wall_s": compile_wall + solve_wall,
         "reliability_solve_s": solve_wall,
+        "reliability_f32_pass_s": f32_wall,
+        "reliability_f64_pass_s": f64_wall,
     }
 
 
@@ -265,15 +366,16 @@ def run_throughput(batch: int = 1024, dim: int = 32):
 
 
 def run_perf_grid():
-    """Roofline-annotated (B, n) throughput grid (VERDICT round-1 item 1):
-    per-batched-iteration device time, achieved HBM bandwidth from the
-    itemized traffic model, utilization vs the chip's peak, the per-shape
-    ATTAINABLE bound (max of light-speed bytes time and measured
-    kernel + evaluation floors — the falsifiable "at roofline" definition),
-    and the bottleneck label derived from the bound's binding term.  The
-    labels come from benchmarks/roofline.py's analyze_shape — the same
-    function ROOFLINE.md is generated from, so the two artifacts cannot
-    disagree (VERDICT round-3 items 3-4)."""
+    """Roofline-annotated (B, n) throughput grid: per-batched-iteration
+    device time, achieved HBM bandwidth from the itemized traffic model,
+    utilization vs the chip's peak, the per-shape HARDWARE-DERIVED
+    attainable bound (round-5 form: chip-parameter models for every kernel
+    phase + the measured objective-eval floor — never a kernel's own
+    measured time, so the % column moves when a kernel improves; VERDICT
+    round-4 item 2), and the bottleneck label derived from the bound's
+    binding term.  The labels come from benchmarks/roofline.py's
+    analyze_shape — the same function ROOFLINE.md is generated from, so the
+    two artifacts cannot disagree."""
     from benchmarks.roofline import (
         analyze_shape,
         device_peak,
@@ -282,8 +384,12 @@ def run_perf_grid():
 
     peak, kind = device_peak()
     rows = []
-    for batch, dim in [(1024, 32), (1024, 256), (256, 4096)]:
-        row = analyze_shape(measure_shape(batch, dim, pipeline=8), peak)
+    # The FULL roofline grid (VERDICT round-4 weak item 4: the committed,
+    # driver-verified artifact must cover every row ROOFLINE.md reports).
+    from benchmarks.roofline import GRID
+
+    for batch, dim in GRID:
+        row = analyze_shape(measure_shape(batch, dim, pipeline=8), peak, kind)
         rows.append(
             {
                 "B": batch,
@@ -297,7 +403,9 @@ def run_perf_grid():
                 "pct_of_attainable": round(
                     row.get("pct_of_attainable", float("nan")), 1
                 ),
-                "kernel_us": round(row.get("kernel_us", 0.0), 1),
+                "kernel_model_us": round(
+                    row.get("kernel_model_us", 0.0), 1
+                ),
                 "eval_us": round(row.get("eval_us", 0.0), 1),
                 "bottleneck": row.get("bottleneck", "n/a"),
             }
@@ -305,10 +413,103 @@ def run_perf_grid():
     return {"device_kind": kind, "peak_hbm_gbps": peak, "perf_grid": rows}
 
 
+def run_solver_legs():
+    """Measured per-batched-iteration legs for the dense/boxed solvers
+    (VERDICT round-4 items 3 and 8): L-BFGS-B with half-active bounds,
+    BFGS (dense rank-2 inverse-Hessian update on the MXU), Newton (batched
+    dense solve on the MXU).  Same iteration-count-contrast methodology as
+    the L-BFGS grid (benchmarks/roofline.py measure_solver_shape)."""
+    from benchmarks.roofline import measure_solver_shape
+    from cppnumericalsolvers_tpu.solvers import Bfgs, Lbfgsb, NewtonDescent
+
+    legs = []
+    # Bounds [-2, 0.9] pin every odd (optimum=1) Rosenbrock coordinate at
+    # its upper bound, so the Cauchy walk crosses real breakpoints.
+    for b, n in ((1024, 32), (256, 256)):
+        row = measure_solver_shape(
+            b, n, Lbfgsb(m=5, lower=-2.0, upper=0.9)
+        )
+        legs.append({"solver": "lbfgsb", **{
+            k: round(v, 1) for k, v in row.items()
+        }})
+    for b, n in ((1024, 32), (256, 256)):
+        row = measure_solver_shape(b, n, Bfgs())
+        legs.append({"solver": "bfgs", **{
+            k: round(v, 1) for k, v in row.items()
+        }})
+    for b, n in ((1024, 32), (256, 64)):
+        row = measure_solver_shape(
+            b, n, NewtonDescent(), mode="second", iters_lo=5, iters_hi=30
+        )
+        legs.append({"solver": "newton", **{
+            k: round(v, 1) for k, v in row.items()
+        }})
+    # Hager-Zhang batched gap vs the fused More-Thuente path (VERDICT
+    # round-4 item 6: HZ's nested data-dependent eval loops are documented
+    # as outside the fused-path boundary — linesearch/hager_zhang.py — and
+    # the cost of choosing it at batch scale is measured here).
+    row = measure_solver_shape(
+        1024, 32, Lbfgs(m=10, line_search="hager_zhang")
+    )
+    legs.append({"solver": "lbfgs_hager_zhang", **{
+        k: round(v, 1) for k, v in row.items()
+    }})
+    return legs
+
+
+def run_al_leg(batch=64, n=4096):
+    """Batched constrained (AL) leg: wall time of one fixed-budget nested
+    solve, batch-native vs vmap-of-whole-solve lowering (VERDICT round-4
+    item 5).  Fixed outer/inner budgets make the two runs execute identical
+    iteration counts; the delta is pure lowering overhead."""
+    from cppnumericalsolvers_tpu import objective as make_obj
+    from cppnumericalsolvers_tpu.core.problem import ConstrainedProblem
+    from cppnumericalsolvers_tpu.core.progress import default_stopping
+    from cppnumericalsolvers_tpu.solvers.augmented_lagrangian import (
+        AugmentedLagrangian,
+    )
+
+    def obj_fn(x):
+        return jnp.sum(x) + 0.005 * jnp.sum(x * x)
+
+    def sphere(x):
+        return jnp.sum(x * x) - float(n)
+
+    prob = ConstrainedProblem(
+        make_obj(obj_fn, mode="first"),
+        equality_constraints=(make_obj(sphere, mode="first"),),
+    )
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-2, 2, (batch, n)).astype(np.float32))
+    stop = default_stopping(jnp.float32).replace(max_iterations=10)
+    istop = default_stopping(jnp.float32).replace(max_iterations=40)
+
+    out = {"batch": batch, "n": n}
+    for impl in ("native", "vmap"):
+        al = AugmentedLagrangian(
+            inner_solver=reliability_solver(), batched_impl=impl
+        )
+        r = al.minimize_batched(prob, x0, stopping=stop, inner_stopping=istop)
+        np.asarray(r.state.nfev)  # compile + load
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = al.minimize_batched(
+                prob, x0, stopping=stop, inner_stopping=istop
+            )
+            np.asarray(r.state.nfev)
+            best = min(best, time.perf_counter() - t0)
+        out[f"wall_s_{impl}"] = round(best, 4)
+    out["native_speedup"] = round(out["wall_s_vmap"] / out["wall_s_native"], 3)
+    return out
+
+
 def main():
     rel = run_reliability()
     thr = run_throughput()
     grid = run_perf_grid()
+    solver_legs = run_solver_legs()
+    al_leg = run_al_leg()
     delta = instance_delta_summary()
     out = {
         # PRIMARY: single-solve convergence — the reference's own protocol
@@ -341,6 +542,11 @@ def main():
         "device_kind": grid["device_kind"],
         "peak_hbm_gbps": grid["peak_hbm_gbps"],
         "perf_grid": grid["perf_grid"],
+        # Per-solver measured legs: L-BFGS-B (batch-native Cauchy walk),
+        # BFGS / Newton (MXU dense updates), and the HZ-vs-fused-MT gap.
+        "solver_legs": solver_legs,
+        # Batched constrained leg: batch-native vs vmap AL lowering.
+        "al_leg": al_leg,
         "backend": jax.default_backend(),
     }
     if delta is not None:
