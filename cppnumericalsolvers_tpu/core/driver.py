@@ -116,6 +116,22 @@ class SolverBase:
         (parity-tested per solver)."""
         raise NotImplementedError
 
+    def solve_batched_native(
+        self,
+        objective: Objective,
+        state0: FunctionState,
+        stopping: StoppingCriteria,
+    ) -> "MinimizeResult":
+        """Full custody of a batched solve for batched-native solvers.
+        The default runs the iteration-granular loop over
+        :meth:`batched_step_and_update`; a solver may override with a
+        different loop structure entirely (Lbfgs's flat trip-granular
+        solve, ops/flat_solve.py)."""
+        return _solve_loop_batched_native(
+            objective, self, state0, self.init_batched(objective, state0),
+            stopping,
+        )
+
     def supports_fused_update(self, objective: Objective) -> bool:
         """Whether :meth:`step_and_update` may replace the driver's generic
         ``step`` + ``update_progress`` + freeze composition for this
@@ -197,6 +213,19 @@ def _make_body(
     instead of vmapping the whole loop.
     """
     stopping_inner = solver.transform_stopping(stopping)
+    if not compute_cond_h:
+        # The Hessian-condition criterion is statically known to be off
+        # (see _wants_driver_cond_h): pin the field to a CONCRETE zero so
+        # solver-side gates (utils/linalg.py condition_test_enabled) see a
+        # trace-time constant instead of a tracer and can skip the cond(H)
+        # inverse — on TPU a second ~8 ms batched LU custom call per
+        # Newton/TR iteration.  Semantics unchanged: the criterion compares
+        # against the same zero either way.
+        stopping_inner = stopping_inner._replace(
+            condition_hessian=jnp.zeros(
+                (), stopping_inner.condition_hessian.dtype
+            )
+        )
     # Solvers may force derivative-free progress semantics (NelderMead: the
     # reference instantiates Progress over a value-only state, so no
     # gradient-norm test applies).
@@ -428,10 +457,7 @@ def _solve_batched_jit(objective, x0_batch, solver, stopping, trace=0,
         and not compute_cond_h
         and solver.supports_batched_native(objective, x0_batch)
     ):
-        return _solve_loop_batched_native(
-            objective, solver, state0,
-            solver.init_batched(objective, state0), stopping,
-        )
+        return solver.solve_batched_native(objective, state0, stopping)
     internals0 = (
         jax.vmap(lambda s: solver.init(objective, s))(state0)
         if internals is None
