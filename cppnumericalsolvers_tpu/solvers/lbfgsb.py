@@ -40,7 +40,9 @@ from ..core.driver import SolverBase
 from ..core.objective import FunctionState, Objective
 from ..core.progress import ProgressState, StoppingCriteria, default_stopping
 from ..core.status import Status
-from ..linesearch.more_thuente import more_thuente
+from ..core.tree import tree_where
+from ..ops.fused_linesearch import batched_more_thuente
+from ..utils.linalg import invert_small, solve_small
 
 __all__ = ["Lbfgsb", "projected_gradient_inf_norm"]
 
@@ -61,8 +63,7 @@ class LbfgsbInternals(NamedTuple):
     y_history: jax.Array  # (m, n)
     count: jax.Array  # int32 valid pairs (slots m-count .. m-1)
     theta: jax.Array  # scalar y.y / y.s scaling (lbfgsb.h:222-223)
-    middle_lu: jax.Array  # (2m, 2m) stored LU of MM (lbfgsb.h:229-235)
-    middle_piv: jax.Array  # (2m,) int32 LU pivots
+    middle_inv: jax.Array  # (2m, 2m) explicit MM^-1 (see _solve_m)
     projected_gradient_norm: jax.Array  # consumed by post_update
     lower: jax.Array  # (n,) box bounds — runtime state, not jit-static
     upper: jax.Array  # (n,); per-lane boxes under vmap (lbfgsb.h:124-130)
@@ -77,13 +78,17 @@ def _build_w(internals: LbfgsbInternals) -> jax.Array:
     )
 
 
-def _solve_m(middle_lu, middle_piv, b: jax.Array) -> jax.Array:
-    """Solve MM z = b from the per-step LU factorization (lbfgsb.h:311-316,
-    SolveM over the stored LU at :229-235).  Identity rows/columns on invalid
-    slots make this exact for any history count, including zero.  Cost per
-    solve is O(m^2) triangular back-substitution — the factorization itself
-    is paid once per outer step, not per Cauchy-loop trip."""
-    return jax.scipy.linalg.lu_solve((middle_lu, middle_piv), b)
+def _solve_m(middle_inv, b: jax.Array) -> jax.Array:
+    """Apply MM^-1 (the reference's SolveM, lbfgsb.h:311-316, over its
+    stored LU at :229-235).  TPU-native difference: the inverse of the tiny
+    (2m, 2m) middle matrix is materialised ONCE per accepted step via the
+    unrolled Gauss-Jordan of utils/linalg.py (no LU custom call — batched
+    small LU lowers to ~2.5 ms scalar loops on v5e), so every Cauchy-walk
+    trip's solve is a (2m, 2m) @ (2m,) matvec.  Identity rows/columns on
+    invalid slots make this exact for any history count, including zero; at
+    2m <= 20 the pivoted explicit inverse of the identity-regularised MM is
+    numerically benign (parity pinned by tests/test_lbfgsb.py)."""
+    return middle_inv @ b
 
 
 class _CauchyCarry(NamedTuple):
@@ -101,21 +106,28 @@ class _CauchyCarry(NamedTuple):
     f_dprime: jax.Array
 
 
-def _generalized_cauchy_point(
-    x, gradient, lower, upper, W, middle_lu, middle_piv, theta
-):
-    """Piecewise-quadratic search along the projected steepest-descent path
-    (lbfgsb.h:318-430).
+class _CauchyAux(NamedTuple):
+    """Loop-invariant per-instance quantities of one Cauchy walk."""
 
-    MM is symmetric ([[-D, L^T], [L, theta S^T S]]), so every quadratic form
-    ``w^T MM^{-1} v`` in the breakpoint recurrences is computed from the ONE
-    per-trip solve ``MM^{-1} w_b`` — O(m^2) per trip against the O(n m^3) of
-    re-factoring (or generically solving) inside the loop."""
+    x: jax.Array
+    gradient: jax.Array
+    lower: jax.Array
+    upper: jax.Array
+    W: jax.Array
+    middle_inv: jax.Array
+    theta: jax.Array
+    t: jax.Array  # breakpoints
+    order: jax.Array
+    rank: jax.Array
+    f_dp_orig: jax.Array
+
+
+def _cauchy_init(x, gradient, lower, upper, W, middle_inv, theta):
+    """Breakpoints, initial direction and carry (lbfgsb.h:334-375)."""
     n = x.shape[-1]
     dtype = x.dtype
     max_value = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
-    # Breakpoints t_j and initial direction d (lbfgsb.h:334-347).
     t = jnp.where(
         gradient == 0,
         max_value,
@@ -135,23 +147,24 @@ def _generalized_cauchy_point(
     f_prime = -jnp.vdot(d, d)
     f_dprime = jnp.maximum(
         jnp.asarray(_CAUCHY_EPS, dtype),
-        -theta * f_prime - jnp.vdot(p, _solve_m(middle_lu, middle_piv, p)),
+        -theta * f_prime - jnp.vdot(p, _solve_m(middle_inv, p)),
     )
-    f_dp_orig = f_dprime
     dt_min = -f_prime / f_dprime
 
-    # First sorted index with a positive breakpoint, or n-1 if none
-    # (lbfgsb.h:369-375).
+    # First sorted index with a positive breakpoint, or n-1 if none.
     t_sorted_pos = t[order] > 0
     i0 = jnp.where(
         jnp.any(t_sorted_pos),
         jnp.argmax(t_sorted_pos),
         jnp.asarray(n - 1, jnp.int32),
     ).astype(jnp.int32)
-    b0 = order[i0]
-    t0 = t[b0]
+    # One-hot picks (no per-lane gathers under vmap — see _cauchy_body).
+    b0 = jnp.sum(
+        jnp.where(jnp.arange(n) == i0, order, 0)
+    ).astype(jnp.int32)
+    t0 = jnp.sum(jnp.where(jnp.arange(n) == b0, t, 0.0))
 
-    init = _CauchyCarry(
+    carry = _CauchyCarry(
         i=i0,
         b=b0,
         t=t0,
@@ -165,76 +178,153 @@ def _generalized_cauchy_point(
         f_prime=f_prime,
         f_dprime=f_dprime,
     )
+    aux = _CauchyAux(
+        x=x, gradient=gradient, lower=lower, upper=upper, W=W,
+        middle_inv=middle_inv, theta=theta,
+        t=t, order=order, rank=rank, f_dp_orig=f_dprime,
+    )
+    return carry, aux
 
-    def cond(s: _CauchyCarry):
-        return jnp.logical_and(s.dt_min >= s.dt, s.i < n)
 
-    def body(s: _CauchyCarry) -> _CauchyCarry:
-        b = s.b
-        db = s.d[b]
-        gb = gradient[b]
-        # Pin the coordinate crossing its bound (lbfgsb.h:383-386).
-        xc_b = jnp.where(
-            db > 0, upper[b], jnp.where(db < 0, lower[b], s.x_cauchy[b])
-        )
-        x_cauchy = s.x_cauchy.at[b].set(xc_b)
-        zb = xc_b - x[b]
-        c_new = s.c + s.dt * s.p
-        wbt = W[b]  # (2m,) row of W
-        # One O(m^2) triangular solve per trip; symmetry of MM gives
-        # w^T M^{-1} c = (M^{-1} w)^T c for every quadratic form below.
-        mwbt = _solve_m(middle_lu, middle_piv, wbt)
-        f_prime = (
-            s.f_prime
-            + s.dt * s.f_dprime
-            + gb * gb
-            + theta * gb * zb
-            - gb * jnp.vdot(mwbt, c_new)
-        )
-        f_dprime = (
-            s.f_dprime
-            - theta * gb * gb
-            - 2.0 * gb * jnp.vdot(mwbt, s.p)
-            - gb * gb * jnp.vdot(wbt, mwbt)
-        )
-        f_dprime = jnp.maximum(_CAUCHY_EPS * f_dp_orig, f_dprime)
-        p_new = s.p + gb * wbt
-        d_new = s.d.at[b].set(0.0)
-        dt_min = -f_prime / f_dprime
-        t_old = s.t
-        i = s.i + 1
-        b_next = order[jnp.minimum(i, n - 1)]
-        t_next = t[b_next]
-        in_range = i < n
-        return _CauchyCarry(
-            i=i,
-            b=jnp.where(in_range, b_next, s.b),
-            t=jnp.where(in_range, t_next, s.t),
-            t_old=t_old,
-            dt=jnp.where(in_range, t_next - t_old, s.dt),
-            dt_min=dt_min,
-            x_cauchy=x_cauchy,
-            c=c_new,
-            p=p_new,
-            d=d_new,
-            f_prime=f_prime,
-            f_dprime=f_dprime,
-        )
+def _cauchy_active(s: _CauchyCarry, n: int):
+    return jnp.logical_and(s.dt_min >= s.dt, s.i < n)
 
-    fin = lax.while_loop(cond, body, init)
 
+def _cauchy_body(s: _CauchyCarry, a: _CauchyAux) -> _CauchyCarry:
+    """One breakpoint-crossing trip (lbfgsb.h:377-415).
+
+    All per-coordinate accesses are ONE-HOT masked vector ops rather than
+    dynamic indexing: under vmap a per-lane ``d[b]`` gather / ``x.at[b]``
+    scatter lowers to scalar-loop gathers on TPU — measured round 5 as the
+    dominant cost of the batched step (half-active-bounds leg) — while the
+    one-hot forms are plain full-width VPU ops."""
+    n = a.x.shape[-1]
+    b = s.b
+    oh = jnp.arange(n) == b  # one-hot of the examined coordinate
+
+    def pick(vec):
+        return jnp.sum(jnp.where(oh, vec, 0.0))
+
+    db = pick(s.d)
+    gb = pick(a.gradient)
+    # Pin the coordinate crossing its bound (lbfgsb.h:383-386).
+    xc_b = jnp.where(
+        db > 0, pick(a.upper), jnp.where(db < 0, pick(a.lower),
+                                         pick(s.x_cauchy))
+    )
+    x_cauchy = jnp.where(oh, xc_b, s.x_cauchy)
+    zb = xc_b - pick(a.x)
+    c_new = s.c + s.dt * s.p
+    wbt = jnp.sum(
+        jnp.where(oh[:, None], a.W, 0.0), axis=0
+    )  # (2m,) row of W
+    # One O(m^2) matvec per trip; symmetry of MM gives
+    # w^T M^{-1} c = (M^{-1} w)^T c for every quadratic form below.
+    mwbt = _solve_m(a.middle_inv, wbt)
+    f_prime = (
+        s.f_prime
+        + s.dt * s.f_dprime
+        + gb * gb
+        + a.theta * gb * zb
+        - gb * jnp.vdot(mwbt, c_new)
+    )
+    f_dprime = (
+        s.f_dprime
+        - a.theta * gb * gb
+        - 2.0 * gb * jnp.vdot(mwbt, s.p)
+        - gb * gb * jnp.vdot(wbt, mwbt)
+    )
+    f_dprime = jnp.maximum(_CAUCHY_EPS * a.f_dp_orig, f_dprime)
+    p_new = s.p + gb * wbt
+    d_new = jnp.where(oh, 0.0, s.d)
+    dt_min = -f_prime / f_dprime
+    t_old = s.t
+    i = s.i + 1
+    oh_i = jnp.arange(n) == jnp.minimum(i, n - 1)
+    b_next = jnp.sum(jnp.where(oh_i, a.order, 0)).astype(jnp.int32)
+    t_next = jnp.sum(jnp.where(jnp.arange(n) == b_next, a.t, 0.0))
+    in_range = i < n
+    return _CauchyCarry(
+        i=i,
+        b=jnp.where(in_range, b_next, s.b),
+        t=jnp.where(in_range, t_next, s.t),
+        t_old=t_old,
+        dt=jnp.where(in_range, t_next - t_old, s.dt),
+        dt_min=dt_min,
+        x_cauchy=x_cauchy,
+        c=c_new,
+        p=p_new,
+        d=d_new,
+        f_prime=f_prime,
+        f_dprime=f_dprime,
+    )
+
+
+def _cauchy_finish(fin: _CauchyCarry, a: _CauchyAux):
+    """Final drift for coordinates not pinned inside the loop
+    (lbfgsb.h:417-427)."""
     dt_min = jnp.maximum(fin.dt_min, 0.0)
     t_old = fin.t_old + dt_min
-    # Final drift applies only to coordinates not pinned inside the loop
-    # (sorted positions >= i; lbfgsb.h:417-427).
-    drift_mask = rank >= fin.i
-    x_cauchy = jnp.where(drift_mask, x + t_old * fin.d, fin.x_cauchy)
+    drift_mask = a.rank >= fin.i
+    x_cauchy = jnp.where(drift_mask, a.x + t_old * fin.d, fin.x_cauchy)
     c_out = fin.c + dt_min * fin.p
     return x_cauchy, c_out
 
 
+@jax.custom_batching.custom_vmap
+def _generalized_cauchy_point(
+    x, gradient, lower, upper, W, middle_inv, theta
+):
+    """Piecewise-quadratic search along the projected steepest-descent path
+    (lbfgsb.h:318-430).
+
+    MM is symmetric ([[-D, L^T], [L, theta S^T S]]), so every quadratic form
+    ``w^T MM^{-1} v`` in the breakpoint recurrences is computed from the ONE
+    per-trip solve ``MM^{-1} w_b`` — O(m^2) per trip against the O(n m^3) of
+    re-factoring (or generically solving) inside the loop.
+
+    custom_vmap op: un-batched calls run this single-instance while_loop; a
+    vmapped call (the batched solve path) swaps in the batch-native loop
+    below — ONE while_loop over batched carries whose body freezes finished
+    lanes itself, instead of the while-batching rule's broadcast-select
+    over all 12 carry leaves per trip (the fused_linesearch.py pattern;
+    VERDICT round-4 item 3)."""
+    n = x.shape[-1]
+    carry, aux = _cauchy_init(
+        x, gradient, lower, upper, W, middle_inv, theta
+    )
+    fin = lax.while_loop(
+        lambda s: _cauchy_active(s, n),
+        lambda s: _cauchy_body(s, aux),
+        carry,
+    )
+    return _cauchy_finish(fin, aux)
+
+
+@_generalized_cauchy_point.def_vmap
+def _cauchy_vmap_rule(axis_size, in_batched, *args):
+    ops = [
+        a if batched else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+        for a, batched in zip(args, in_batched)
+    ]
+    n = ops[0].shape[-1]
+    carry, aux = jax.vmap(_cauchy_init)(*ops)
+
+    def cond(c):
+        return jnp.any(jax.vmap(lambda s: _cauchy_active(s, n))(c))
+
+    def body(c):
+        active = jax.vmap(lambda s: _cauchy_active(s, n))(c)
+        new = jax.vmap(_cauchy_body)(c, aux)
+        return jax.vmap(tree_where)(jnp.logical_not(active), c, new)
+
+    fin = lax.while_loop(cond, body, carry)
+    out = jax.vmap(_cauchy_finish)(fin, aux)
+    return out, (True, True)
+
+
 def _subspace_minimization(
-    x, gradient, x_cauchy, c, lower, upper, W, middle_lu, middle_piv, theta
+    x, gradient, x_cauchy, c, lower, upper, W, middle_inv, theta
 ):
     """Direct primal subspace minimization over the free variables
     (lbfgsb.h:459-515), masked instead of gathered."""
@@ -247,17 +337,19 @@ def _subspace_minimization(
     rr = (
         gradient
         + theta * (x_cauchy - x)
-        - W @ _solve_m(middle_lu, middle_piv, c)
+        - W @ _solve_m(middle_inv, c)
     )
     r = jnp.where(free_mask, rr, 0.0)
 
     # v = M^{-1} (W_F^T r); N = I - M^{-1} (theta^{-1} W_F^T W_F)
     # (lbfgsb.h:484-495) — W_F is W with bound rows zeroed.
     Wf = W * free_mask[:, None].astype(dtype)
-    v = _solve_m(middle_lu, middle_piv, Wf.T @ r)
+    v = _solve_m(middle_inv, Wf.T @ r)
     N = theta_inv * (Wf.T @ Wf)
-    N = jnp.eye(two_m, dtype=dtype) - _solve_m(middle_lu, middle_piv, N)
-    v = jnp.linalg.solve(N, v)
+    N = jnp.eye(two_m, dtype=dtype) - _solve_m(middle_inv, N)
+    # Unrolled Gauss-Jordan, not jnp.linalg.solve: the (2m, 2m) batched LU
+    # lowers to a ~ms scalar custom call on TPU (utils/linalg.py).
+    v = solve_small(N, v)
 
     # Sign-fixed step (lbfgsb.h:500-504, "MISTAKE IN THE ORIGINAL PAPER").
     du = -theta_inv * r - theta_inv * theta_inv * (Wf @ v)
@@ -330,8 +422,7 @@ class Lbfgsb(SolverBase):
             y_history=jnp.zeros((self.m, n), dtype),
             count=jnp.zeros((), jnp.int32),
             theta=jnp.ones((), dtype),
-            middle_lu=jnp.eye(2 * self.m, dtype=dtype),
-            middle_piv=jnp.arange(2 * self.m, dtype=jnp.int32),
+            middle_inv=jnp.eye(2 * self.m, dtype=dtype),
             projected_gradient_norm=jnp.asarray(jnp.inf, dtype),
             lower=jnp.broadcast_to(lower, (n,)),
             upper=jnp.broadcast_to(upper, (n,)),
@@ -401,31 +492,35 @@ class Lbfgsb(SolverBase):
         W = _build_w(internals)
         x_cauchy, c = _generalized_cauchy_point(
             x, gradient, lower, upper, W,
-            internals.middle_lu, internals.middle_piv, internals.theta,
+            internals.middle_inv, internals.theta,
         )
         subspace_min, do_line_search = _subspace_minimization(
             x, gradient, x_cauchy, c, lower, upper, W,
-            internals.middle_lu, internals.middle_piv, internals.theta,
+            internals.middle_inv, internals.theta,
         )
 
         # Line search from the current iterate toward the subspace minimiser
         # (lbfgsb.h:186-193); when no variables are free the Cauchy point is
-        # taken directly with a single evaluation.
+        # taken directly with a single evaluation.  Routed through the
+        # batch-native More-Thuente op: a batched solve runs ONE while_loop
+        # at batch level (Pallas-fused on TPU/f32) instead of the vmapped
+        # single-instance search (VERDICT round-4 item 3).
         direction = subspace_min - x
-        ls = more_thuente(
+        ls_x, ls_f, ls_g, _ls_alpha, ls_nfev, _ls_info = batched_more_thuente(
             objective.value_and_grad,
             x,
             value,
             gradient,
             direction,
-            alpha_init=jnp.ones((), dtype),
+            jnp.ones((), dtype),
+            jnp.vdot(gradient, direction),
             max_fev=self.max_linesearch_fev,
         )
-        next_x = jnp.where(do_line_search, ls.x, subspace_min)
+        next_x = jnp.where(do_line_search, ls_x, subspace_min)
 
         # Clip a bound-crossing step back into the box and re-evaluate ONLY
         # then (lbfgsb.h:199-203): when nothing was clipped the line search
-        # already produced (f, g) at ``ls.x`` — re-evaluating would silently
+        # already produced (f, g) at ``ls_x`` — re-evaluating would silently
         # break the no-redundant-evaluations invariant (function_base.h:
         # 293-296).  When no variables were free the Cauchy point is taken
         # with a single direct evaluation (lbfgsb.h:186-193).
@@ -435,11 +530,11 @@ class Lbfgsb(SolverBase):
         next_value, next_gradient = lax.cond(
             need_eval,
             lambda: objective.value_and_grad(clipped),
-            lambda: (ls.f, ls.g),
+            lambda: (ls_f, ls_g),
         )
         nfev = nfev + jnp.where(
             do_line_search,
-            ls.nfev + jnp.where(was_clipped, 1, 0),
+            ls_nfev + jnp.where(was_clipped, 1, 0),
             1,
         )
         next_state = FunctionState(
@@ -466,16 +561,17 @@ class Lbfgsb(SolverBase):
             # implies s_dot_y > 0.
             th = jnp.vdot(new_y, new_y) / s_dot_y
             middle = _build_middle(s_h, y_h, cnt, th, self.m)
-            lu, piv = jax.scipy.linalg.lu_factor(middle)
-            return s_h, y_h, cnt, th, lu, piv
+            # Unrolled Gauss-Jordan, not jnp.linalg.inv: batched small LU
+            # lowers to a ~2.5 ms scalar custom call on TPU (utils/linalg).
+            return s_h, y_h, cnt, th, invert_small(middle)
 
         def _rejected():
             return (
                 internals.s_history, internals.y_history, internals.count,
-                internals.theta, internals.middle_lu, internals.middle_piv,
+                internals.theta, internals.middle_inv,
             )
 
-        s_history, y_history, count, theta, middle_lu, middle_piv = lax.cond(
+        s_history, y_history, count, theta, middle_inv = lax.cond(
             accept, _accepted, _rejected
         )
 
@@ -484,8 +580,7 @@ class Lbfgsb(SolverBase):
             y_history=y_history,
             count=count,
             theta=theta,
-            middle_lu=middle_lu,
-            middle_piv=middle_piv,
+            middle_inv=middle_inv,
             projected_gradient_norm=proj_norm,
             lower=internals.lower,
             upper=internals.upper,

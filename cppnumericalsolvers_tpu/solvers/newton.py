@@ -18,7 +18,7 @@ from ..core.driver import SolverBase
 from ..core.objective import FunctionState, Objective
 from ..core.progress import StoppingCriteria
 from ..linesearch.armijo import armijo
-from ..utils.linalg import frobenius_condition
+from ..utils.linalg import condition_test_enabled, frobenius_condition
 
 __all__ = ["NewtonDescent", "NewtonInternals"]
 
@@ -49,7 +49,6 @@ class NewtonDescent(SolverBase):
         internals,
         stopping: StoppingCriteria,
     ):
-        del stopping
         n = state.x.shape[-1]
         dtype = state.x.dtype
         hessian = objective.hessian(state.x)
@@ -77,6 +76,11 @@ class NewtonDescent(SolverBase):
             gradient=grad,
             nfev=state.nfev + ls.nfev + 2,
         )
-        return next_state, NewtonInternals(
-            condition_hessian=frobenius_condition(hessian)
+        # Skip the cond(H) inverse when the criterion is disabled (the
+        # second ~8 ms batched LU per iteration; utils/linalg.py).
+        cond_h = (
+            frobenius_condition(hessian)
+            if condition_test_enabled(stopping)
+            else jnp.zeros((), state.x.dtype)
         )
+        return next_state, NewtonInternals(condition_hessian=cond_h)

@@ -29,7 +29,7 @@ from jax import lax
 from ..core.driver import SolverBase
 from ..core.objective import FunctionState, Objective
 from ..core.progress import StoppingCriteria
-from ..utils.linalg import frobenius_condition
+from ..utils.linalg import condition_test_enabled, frobenius_condition
 
 __all__ = ["TrustRegionNewton", "solve_tr_subproblem"]
 
@@ -177,7 +177,6 @@ class TrustRegionNewton(SolverBase):
         internals: TrInternals,
         stopping: StoppingCriteria,
     ):
-        del stopping
         x = state.x
         n = x.shape[-1]
         gradient = state.gradient
@@ -194,7 +193,13 @@ class TrustRegionNewton(SolverBase):
             def hvp(v):
                 return hessian @ v
             hessian_nfev = 1  # the fresh H eval (:199-201)
-            condition_hessian = frobenius_condition(hessian)
+            # Skip the cond(H) inverse when the criterion is disabled
+            # (utils/linalg.py condition_test_enabled).
+            condition_hessian = (
+                frobenius_condition(hessian)
+                if condition_test_enabled(stopping)
+                else jnp.zeros((), x.dtype)
+            )
 
         # Eisenstat-Walker forcing (:215-220).
         gradient_inf = jnp.max(jnp.abs(gradient))

@@ -4,7 +4,78 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["frobenius_condition"]
+__all__ = [
+    "frobenius_condition",
+    "solve_small",
+    "invert_small",
+    "condition_test_enabled",
+]
+
+
+def condition_test_enabled(stopping) -> bool:
+    """Trace-time check whether the HessianConditionViolation criterion is
+    live.  cond(H) needs ``|H^-1|_F`` — on TPU a second batched LU custom
+    call per iteration, measured at 8.3 ms per (1024, 32, 32) batch — so
+    solvers that materialise H skip it when the criterion is disabled (the
+    default: ``condition_hessian == 0``).  Traced criteria (a solve built
+    inside a larger jit) fall back to always-compute, matching the
+    reference's unconditional evaluation (progress.h:197-208)."""
+    import jax
+
+    try:
+        return bool(stopping.condition_hessian > 0)
+    except jax.errors.TracerBoolConversionError:
+        return True
+
+
+def solve_small(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``a @ x = b`` for a SMALL static k x k system by unrolled
+    Gauss-Jordan elimination with one-hot partial pivoting.
+
+    Why not ``jnp.linalg.solve``: XLA lowers batched small LU
+    factorizations to scalar-loop custom calls on TPU — measured round 5 at
+    ~2.5 ms per (1024, 10, 10) batch, 84% of the whole batched L-BFGS-B
+    step.  This form is k statically-unrolled elimination steps of
+    full-width vector ops (selects + rank-1 updates): under ``vmap`` it
+    stays pure VPU work with no custom call.  Partial pivoting keeps the
+    reference's LU-grade stability (lbfgsb.h:229-235,
+    newton_descent.h:58-61); k is expected to be <= a few hundred.
+
+    ``b`` may be (k,) or (k, r).
+    """
+    k = a.shape[-1]
+    vec = b.ndim == 1
+    rhs = b[:, None] if vec else b
+    m = jnp.concatenate([a, rhs.astype(a.dtype)], axis=1)  # (k, k + r)
+    rows = jnp.arange(k)
+    for j in range(k):  # static unroll: j is a Python int
+        col = m[:, j]
+        # Pivot: largest |col| among rows >= j (one-hot select, no gather).
+        cand = jnp.where(rows >= j, jnp.abs(col), -1.0)
+        p_mask = rows == jnp.argmax(cand)
+        pivot_row = jnp.sum(jnp.where(p_mask[:, None], m, 0.0), axis=0)
+        row_j = m[j]  # static index
+        # Swap rows j and p.
+        m = jnp.where(
+            (rows == j)[:, None],
+            pivot_row,
+            jnp.where(p_mask[:, None], row_j, m),
+        )
+        piv = pivot_row[j]
+        # Guard a singular pivot: propagate inf/nan like an LU solve would.
+        norm_row = pivot_row / piv
+        factor = m[:, j]
+        elim = m - factor[:, None] * norm_row[None, :]
+        m = jnp.where((rows == j)[:, None], norm_row, elim)
+    x = m[:, k:]
+    return x[:, 0] if vec else x
+
+
+def invert_small(a: jnp.ndarray) -> jnp.ndarray:
+    """Explicit inverse of a small static k x k matrix via
+    :func:`solve_small` against the identity."""
+    k = a.shape[-1]
+    return solve_small(a, jnp.eye(k, dtype=a.dtype))
 
 
 def frobenius_condition(hessian: jnp.ndarray) -> jnp.ndarray:

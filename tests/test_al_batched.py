@@ -104,17 +104,22 @@ def test_al_runtime_per_lane_bounds():
             ),
             stopping=stop,
         )
+        # rtol 1e-8, not bitwise: since round 5 the batched lowering is the
+        # batch-native nested loop (_al_minimize_batched_jit), an equivalent
+        # but differently-scheduled program whose f64 reductions reorder —
+        # observed drift ~3e-10 on this problem.  The analytic-optimum
+        # assertions below still pin correctness absolutely.
         np.testing.assert_allclose(
             np.asarray(batched.state.x[lane]),
             np.asarray(single.state.x),
-            rtol=1e-10,
-            atol=1e-12,
+            rtol=1e-8,
+            atol=1e-9,
         )
         np.testing.assert_allclose(
             float(batched.state.max_lagrangian_gradient[lane]),
             float(single.state.max_lagrangian_gradient),
-            rtol=1e-10,
-            atol=1e-12,
+            rtol=1e-8,
+            atol=1e-9,
         )
         # Bounds honoured per lane; every lane reached its analytic
         # box-constrained optimum (floor, -sqrt(2-floor^2)) — for the
