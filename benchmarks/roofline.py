@@ -7,28 +7,28 @@ the achieved HBM bandwidth from an itemized traffic model, and reports
 utilization against the chip's peak — plus XLA's own cost analysis of the
 compiled step and an optional ``jax.profiler`` trace capture.
 
-Why the HBM roofline is the relevant ceiling: the L-BFGS step is
-reduction/elementwise work (VPU), not matmul (MXU).  Per lane and iteration
-the fused push+two-loop kernel moves ~4mn floats of history for ~10mn flops
-— an arithmetic intensity of ~0.6 flops/byte, two orders of magnitude below
-the f32 ridge point, so the speed-of-light step time is bytes/BW and flops
-never bind.  The traffic model (per lane, per iteration, in floats):
+Which roofline binds depends on the regime (round 5):
 
-    history    4mn      fused kernel: read S,Y + write S,Y (ops/two_loop.py)
-    kernel i/o 4n       g, s_pending, y_pending in; direction out
-    linesearch ~5n/ev   trial x = x0 + a*d (read x0,d, write x) + the
-                        objective's value_and_grad pass (read x, write g)
-    driver     ~12n     state selects, s/y diffs, norms, progress machine
+* **VMEM-resident** (the flat trip-granular solve, n <= 256: the whole
+  batched carry — history, search state, progress — fits the chip's
+  128 MB VMEM and XLA keeps it there): the solve never touches HBM in the
+  hot loop — measured 42 MB of modeled per-trip "HBM" traffic sustaining
+  1.27 TB/s on an 819 GB/s part.  The binding floors are the measured
+  objective-evaluation cost, the VPU element throughput, and per-trip
+  runtime overhead.
+* **HBM-streaming** (larger n): the L-BFGS step is reduction/elementwise
+  work at ~0.6 flops/byte, two orders of magnitude below the f32 ridge
+  point, so the speed-of-light step time is bytes/BW.  Traffic model per
+  lane-iteration (floats): history 4mn, kernel i/o ~5n, transposes ~10n
+  (transposed path), line search ~5n/eval, driver ~12n.
 
-After round 4's fusions (batch-native line-search loop, full carry
-aliasing) the non-kernel residue is gone: every grid shape is now bound by
-the fused push+two-loop kernel itself, classified per row against the
-committed attainable bound.  At large n the kernel runs at ~52% of peak
-HBM bandwidth (read+write balanced history streaming); at small n it sits
-on a VPU/DMA issue-rate floor — the 2m-step serial reduction chain plus
-the (m=10 -> 16, n=32 -> 128) VMEM tile padding (ablation: at (1024,32)
-~half the kernel is the two serial passes, ~40 us is DMA at ~130 GB/s
-effective).
+The attainable bound (analyze_shape/attainable_bound_us) is
+HARDWARE-DERIVED: chip parameters (HBM peak, VPU element rate,
+dependent-op latency) + structural op counts + the measured objective-eval
+floor + a kernel-independent loop-trip calibration — never any solver
+kernel's own measured time, so the "% of attainable" column moves when a
+kernel improves (the rounds-3/4 bound structurally could not indict its
+own kernel).
 
 Usage:
     python benchmarks/roofline.py             # grid + JSON + ROOFLINE.md
@@ -72,6 +72,28 @@ HBM_PEAK_GBPS = {
     "TPU v6e": 1640.0,
 }
 
+# Peak VPU elementwise throughput by device kind (f32 element-ops/s):
+# lanes (8 x 128) x ALUs-per-lane (4) x clock.  v5e clock 0.94 GHz,
+# v4 1.05 GHz, v5p 1.75 GHz, v6e 1.7 GHz (public figures; the scaling
+# book's VPU description).  Used only by the hardware-derived attainable
+# model — a LOWER bound on kernel time, so an optimistic peak is the
+# correct direction.
+VPU_ELEM_RATE = {
+    "TPU v4": 8 * 128 * 4 * 1.05e9,
+    "TPU v5 lite": 8 * 128 * 4 * 0.94e9,
+    "TPU v5e": 8 * 128 * 4 * 0.94e9,
+    "TPU v5": 8 * 128 * 4 * 1.75e9,
+    "TPU v5p": 8 * 128 * 4 * 1.75e9,
+    "TPU v6 lite": 8 * 128 * 4 * 1.7e9,
+    "TPU v6e": 8 * 128 * 4 * 1.7e9,
+}
+
+# Engineering estimate of the serialization cost of one DEPENDENT vector
+# op in a chain (VPU pipeline depth + issue, ~15-25 cycles at ~1 GHz).
+# Part of the hardware-derived kernel model's latency term; documented
+# constant, not fitted to any kernel measurement.
+SERIAL_DEP_NS = 20.0
+
 # The default measurement grid: small-n latency regime, mid sizes, and the
 # large-n bandwidth regime (VERDICT round-1 item 1 asks for >= 3 shapes
 # incl. large n).
@@ -100,15 +122,21 @@ def fixed_iteration_stopping(iters, dtype=jnp.float32):
 
 
 def traffic_model_bytes(batch, n, nfev_per_iter, m=M, itemsize=4):
-    """Modeled HBM bytes per BATCHED iteration (all lanes), itemized."""
+    """Modeled HBM bytes per BATCHED iteration (all lanes), itemized.
+    On the transposed path the layout-boundary transposes add one
+    read+write of the 5 crossing vectors (~10n per lane)."""
     history = 4 * m * n
-    kernel_io = 4 * n
+    kernel_io = 5 * n
+    transposes = 10 * n if _transposed_active(n) else 0
     linesearch = 5.0 * n * nfev_per_iter
     driver = 12 * n
-    per_lane = itemsize * (history + kernel_io + linesearch + driver)
+    per_lane = itemsize * (
+        history + kernel_io + transposes + linesearch + driver
+    )
     return batch * per_lane, {
         "history": batch * itemsize * history,
         "kernel_io": batch * itemsize * kernel_io,
+        "transposes": batch * itemsize * transposes,
         "linesearch": batch * itemsize * linesearch,
         "driver": batch * itemsize * driver,
     }
@@ -161,22 +189,29 @@ def _run_pipelined(solver, x0s, stopping):
     return wall, iters, nfev
 
 
-def measure_shape(batch, n, pipeline=16, profile_dir=None):
-    """Per-batched-iteration device time via iteration-count contrast.
+def measure_shape(batch, n, pipeline=4, profile_dir=None):
+    """Per-batched-iteration DEVICE time from a profiler capture.
 
-    Two fixed-iteration runs (I_lo, I_hi) of the same pipelined dispatch
-    differ only in loop trips, so (t_hi - t_lo) / (pipeline * (I_hi - I_lo))
-    cancels the per-dispatch host/tunnel latency.  Both runs stay inside the
+    Rounds 1-4 used a wall-clock iteration-count contrast; round 5's flat
+    VMEM-resident solve dropped whole-run device time to tens of ms, below
+    the remote-device tunnel's multi-ms dispatch jitter — wall contrasts
+    became bimodal (3-24 us/iter scatter around an 11 us truth at
+    (1024, 32)).  The profiler's device-side duration of the top-level
+    program is jitter-free: per_iter = device_duration / batched
+    iterations.  Tracing inflates device time slightly (~10-25% measured),
+    so the figure is conservative.  The iteration budget stays inside the
     DESCENT phase of the solve: iterating far past convergence (with the
-    stopping tests disabled) degenerates into stalled 20-eval line searches
-    that inflate the apparent per-iteration cost by 3-5x and measure a
-    regime no converging solve ever runs in."""
+    stopping tests disabled) degenerates into stalled max-fev line
+    searches and measures a regime no converging solve ever runs in."""
+    import shutil
+    import tempfile
+
     if n <= 64:
-        iters_lo, iters_hi, pipeline = 10, 60, max(pipeline, 32)
+        iters = 50
     elif n <= 1024:
-        iters_lo, iters_hi = 20, 120
+        iters = 80
     else:
-        iters_lo, iters_hi = 20, 100
+        iters = 60
     rng = np.random.default_rng(0)
     x0s = [
         jnp.asarray(
@@ -185,61 +220,152 @@ def measure_shape(batch, n, pipeline=16, profile_dir=None):
         for _ in range(pipeline)
     ]
     solver = Lbfgs(m=M)
-    out = {}
-    for iters in (iters_lo, iters_hi):
-        stopping = fixed_iteration_stopping(iters)
-        # Warm run compiles the scanned program (iteration counts are
-        # dynamic operands, so both settings share one compilation).
-        _run_pipelined(solver, x0s, stopping)
-        wall, total_iters, total_nfev = _run_pipelined(
-            solver, x0s, stopping
-        )
-        out[iters] = (wall, total_iters, total_nfev)
-        if profile_dir and iters == iters_hi:
-            # Capture on a SEPARATE run: tracing inflates device+host time
-            # (measured +25% at (1024, 32)), so the timed run above must
-            # not be the traced one.
-            with jax.profiler.trace(profile_dir):
-                _run_pipelined(solver, x0s, stopping)
+    stopping = fixed_iteration_stopping(iters)
+    _run_pipelined(solver, x0s, stopping)  # compile + load
 
-    (w1, i1, f1), (w2, i2, f2) = out[iters_lo], out[iters_hi]
-    batched_iters_lo = i1 / batch  # = pipeline * iters_lo
-    batched_iters_hi = i2 / batch
-    per_iter_s = (w2 - w1) / max(batched_iters_hi - batched_iters_lo, 1.0)
-    nfev_per_iter = (f2 - f1) / max(i2 - i1, 1.0)
+    cdir = profile_dir or tempfile.mkdtemp(prefix="cppns_roofline_")
+    with jax.profiler.trace(cdir):
+        _, total_iters, total_nfev = _run_pipelined(solver, x0s, stopping)
+
+    try:
+        from benchmarks.trace_table import load_device_events
+    except ImportError:  # run as a script from benchmarks/
+        from trace_table import load_device_events
+
+    events = load_device_events(cdir)
+    # The top-level jit program's device duration covers every trip and
+    # every inter-op gap of the dispatch, and nothing host-side.
+    dev_us = max(
+        (e.get("dur", 0) for e in events if e["name"].startswith("jit_")),
+        default=0,
+    )
+    if profile_dir is None:
+        shutil.rmtree(cdir, ignore_errors=True)
+    batched_iters = total_iters / batch
+    per_iter_s = dev_us * 1e-6 / max(batched_iters, 1.0)
     return {
         "batch": batch,
         "n": n,
         "per_batched_iter_us": per_iter_s * 1e6,
         "lane_iters_per_s": batch / per_iter_s,
-        "nfev_per_iter": nfev_per_iter,
+        "nfev_per_iter": total_nfev / max(total_iters, 1.0),
+    }
+
+
+def _transposed_active(n):
+    """Whether the batched solve path runs the batch-minor (transposed)
+    prologue at this n (must track Lbfgs._TRANSPOSED_N_MAX)."""
+    from cppnumericalsolvers_tpu.solvers import Lbfgs
+
+    return n <= Lbfgs._TRANSPOSED_N_MAX
+
+
+@functools.partial(jax.jit, static_argnames=("obj", "solver"))
+def _scanned_solver_solves(obj, x0s, solver, stopping, internals=None):
+    """Generalized :func:`_scanned_solves` accepting any solver plus
+    optional solver internals (e.g. L-BFGS-B runtime boxes)."""
+    from jax import lax
+
+    from cppnumericalsolvers_tpu.core.driver import _solve_batched_jit
+
+    def body(carry, x0_batch):
+        r = _solve_batched_jit(
+            obj, x0_batch, solver, stopping, internals=internals
+        )
+        return carry, (
+            jnp.sum(r.progress.num_iterations),
+            jnp.sum(r.state.nfev),
+            jnp.sum(r.state.value),
+        )
+
+    _, (iters, nfev, values) = lax.scan(body, 0, x0s)
+    return jnp.sum(iters), jnp.sum(nfev), jnp.sum(values)
+
+
+def measure_solver_shape(
+    batch, n, solver, mode="first", internals=None, pipeline=8,
+    iters_lo=10, iters_hi=60,
+):
+    """Per-batched-iteration device time for an arbitrary solver on
+    extended Rosenbrock, via the same scanned iteration-count contrast as
+    :func:`measure_shape` (per-dispatch tunnel latency cancels).  Used by
+    bench.py's solver legs (L-BFGS-B / BFGS / Newton — VERDICT round-4
+    items 3 and 8)."""
+    obj = objective(ext_rosenbrock, mode=mode)
+    rng = np.random.default_rng(0)
+    x0s = jnp.stack([
+        jnp.asarray(rng.uniform(-2.0, 2.0, (batch, n)).astype(np.float32))
+        for _ in range(pipeline)
+    ])
+    out = {}
+    for iters in (iters_lo, iters_hi):
+        stopping = fixed_iteration_stopping(iters)
+        _scanned_solver_solves(obj, x0s, solver, stopping, internals)
+        t0 = time.perf_counter()
+        got = _scanned_solver_solves(obj, x0s, solver, stopping, internals)
+        total_iters = float(np.asarray(got[0]))
+        total_nfev = float(np.asarray(got[1]))
+        out[iters] = (time.perf_counter() - t0, total_iters, total_nfev)
+    (w1, i1, f1), (w2, i2, f2) = out[iters_lo], out[iters_hi]
+    per_iter_s = (w2 - w1) * batch / max(i2 - i1, 1.0)
+    return {
+        "batch": batch,
+        "n": n,
+        "per_batched_iter_us": per_iter_s * 1e6,
+        "lane_iters_per_s": batch / per_iter_s,
+        "nfev_per_iter": (f2 - f1) / max(i2 - i1, 1.0),
     }
 
 
 def measure_kernel_standalone(batch, n, m=M, k_lo=20, k_hi=220):
-    """Device time of the fused push+two-loop kernel alone at this shape,
-    via a scanned k-call chain contrast (same anti-jitter trick as the full
-    step).  Splitting step time into kernel vs rest names the bottleneck
-    quantitatively."""
+    """Measured device time of the ACTIVE direction-step kernel at this
+    shape — the transposed prologue (ops/fused_step_t.py) for
+    n <= Lbfgs._TRANSPOSED_N_MAX, the batch-major prologue beyond — via a
+    scanned k-call chain contrast.  Diagnostic only since round 5: the
+    attainable bound uses the hardware-derived :func:`kernel_model_us`
+    instead (a measured floor can never indict its own kernel)."""
     from jax import lax
 
-    from cppnumericalsolvers_tpu.ops.two_loop import (
-        push_two_loop_pallas_batched,
+    from cppnumericalsolvers_tpu.ops.fused_step import (
+        prologue_pallas_batched,
+    )
+    from cppnumericalsolvers_tpu.ops.fused_step_t import (
+        history_rows_to_t,
+        prologue_t_pallas_batched,
     )
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def chain(g, s, y, c, ga, sn, yn, v, k):
-        def body(carry, _):
-            g_, s_, y_, c_, ga_, sn_, yn_ = carry
-            d, s2, y2, c2, ga2 = push_two_loop_pallas_batched(
-                g_, s_, y_, c_, ga_, sn_, yn_, v
-            )
-            return (d, s2, y2, c2, ga2, d * 0.5, yn_), None
+    transposed = _transposed_active(n)
 
-        (d, *_), _ = lax.scan(body, (g, s, y, c, ga, sn, yn), None, length=k)
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain_t(x, g, st, yt, c, ga, sn, yn, v, dn, k):
+        def body(carry, _):
+            x_, g_, st_, yt_, c_, ga_, sn_, yn_ = carry
+            d, a, dg, st2, yt2, c2, ga2 = prologue_t_pallas_batched(
+                x_, g_, st_, yt_, c_, ga_, sn_, yn_, v, dn
+            )
+            return (x_, d, st2, yt2, c2, ga2, sn_, yn_), None
+
+        (x_, d, *_), _ = lax.scan(
+            body, (x, g, st, yt, c, ga, sn, yn), None, length=k
+        )
+        return jnp.sum(d)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain_m(x, g, s, y, c, ga, sn, yn, v, dn, k):
+        def body(carry, _):
+            x_, g_, s_, y_, c_, ga_, sn_, yn_ = carry
+            d, a, dg, s2, y2, c2, ga2 = prologue_pallas_batched(
+                x_, g_, s_, y_, c_, ga_, sn_, yn_, v, dn
+            )
+            return (x_, d, s2, y2, c2, ga2, sn_, yn_), None
+
+        (x_, d, *_), _ = lax.scan(
+            body, (x, g, s, y, c, ga, sn, yn), None, length=k
+        )
         return jnp.sum(d)
 
     rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
     g = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
     s = jnp.asarray(
         rng.standard_normal((batch, m, n)).astype(np.float32) * 0.1
@@ -254,11 +380,20 @@ def measure_kernel_standalone(batch, n, m=M, k_lo=20, k_hi=220):
         sn + 0.03 * rng.standard_normal((batch, n)).astype(np.float32)
     )
     v = jnp.ones((batch,), bool)
+    dn = jnp.zeros((batch,), bool)
+    if transposed:
+        st = history_rows_to_t(s, m, n)
+        yt = history_rows_to_t(y, m, n)
+        args = (x, g, st, yt, c, ga, sn, yn, v, dn)
+        chain = chain_t
+    else:
+        args = (x, g, s, y, c, ga, sn, yn, v, dn)
+        chain = chain_m
     out = {}
     for k in (k_lo, k_hi):
-        float(np.asarray(chain(g, s, y, c, ga, sn, yn, v, k)))
+        float(np.asarray(chain(*args, k)))
         t0 = time.perf_counter()
-        float(np.asarray(chain(g, s, y, c, ga, sn, yn, v, k)))
+        float(np.asarray(chain(*args, k)))
         out[k] = time.perf_counter() - t0
     return (out[k_hi] - out[k_lo]) / (k_hi - k_lo)
 
@@ -297,33 +432,280 @@ def measure_eval_standalone(batch, n, k_lo=200, k_hi=1800, reps=3):
     return max((out[k_hi] - out[k_lo]) / (k_hi - k_lo), 0.0)
 
 
-def attainable_bound_us(row, peak_gbps, kernel_us, eval_us):
-    """The committed, falsifiable definition of "at roofline" for a shape
-    (VERDICT round-3 item 3): the per-batched-iteration time cannot beat
+def _round_up(x, mult):
+    return -(-x // mult) * mult
 
-        attainable = max( light_speed_bytes_time,
-                          kernel_floor + nfev_per_iter * eval_floor )
 
-    where light_speed is the itemized traffic model at peak HBM bandwidth,
-    kernel_floor is the MEASURED standalone fused push+two-loop kernel time
-    (its issue-rate floor at small n is real, not modeled away), and
-    eval_floor is the MEASURED standalone batched objective evaluation.
-    "% of attainable" = attainable / measured; the north-star check is that
-    number, per shape — not a debate.
-    """
-    bytes_total, _ = traffic_model_bytes(
-        row["batch"], row["n"], row["nfev_per_iter"]
+def _phase_model_us(bytes_, elems, peak_gbps, vpu_rate, chain_us=0.0):
+    """Lower bound for one serial phase: its time cannot beat its HBM
+    bytes at peak bandwidth, its element-ops at peak VPU rate, or its
+    dependent-chain latency — so max() of the three is a valid bound.
+    ``peak_gbps=None`` drops the bytes term (the VMEM-resident regime —
+    dropping a lower-bound term keeps the bound valid)."""
+    bytes_term = 0.0 if not peak_gbps else bytes_ / (peak_gbps * 1e9) * 1e6
+    return max(bytes_term, elems / vpu_rate * 1e6, chain_us)
+
+
+def kernel_model_us(batch, n, peak_gbps, kind, m=M, itemsize=4):
+    """HARDWARE-DERIVED lower bound for the fused direction-step kernel
+    (VERDICT round-4 item 2: the round-3/4 bound used the kernel's own
+    measured floor, which could never indict the kernel).  Three terms,
+    none taken from any kernel measurement:
+
+    * bytes: the kernel's unavoidable HBM traffic — history read+write
+      (4 m n8 B_pad), kernel vector i/o (5 n8 B_pad), and the layout-
+      boundary transposes (2 x 5 n B) — at peak bandwidth;
+    * VPU: the push + two-loop element-op count (~16mn + 24n per lane) at
+      the chip's peak elementwise rate;
+    * chain: the 2m serially-dependent reductions, each a
+      (log2(n8/8) + 4)-deep dependent vector chain at SERIAL_DEP_NS per
+      dependent op, times the number of sequential grid programs.
+
+    Shapes follow the layout the solve path actually runs at this n
+    (transposed batch-minor below Lbfgs._TRANSPOSED_N_MAX, batch-major
+    flat above)."""
+    vpu_rate = VPU_ELEM_RATE.get(kind, 8 * 128 * 4 * 1e9)
+    if _transposed_active(n):
+        n8 = _round_up(n, 8)
+        b_pad = _round_up(batch, 128)
+        hist_bytes = 4 * m * n8 * b_pad * itemsize
+        vec_bytes = 5 * n8 * b_pad * itemsize + 10 * n * batch * itemsize
+        # One grid program per 128-1024 lane tile; the serial chain runs
+        # once per program (programs execute sequentially on the core).
+        programs = max(1, b_pad // 1024)
+        depth = 2 * m * (int(np.ceil(np.log2(max(n8 // 8, 1) or 1))) + 4)
+        chain_us = programs * depth * SERIAL_DEP_NS * 1e-3
+    else:
+        n8 = _round_up(n, 8)
+        hist_bytes = 4 * m * n8 * batch * itemsize
+        vec_bytes = 5 * n8 * batch * itemsize
+        programs = max(1, batch // 8)  # at least the minimum 8-lane tile
+        depth = 2 * m * 6
+        # Batch-major programs pipeline their DMA; the chain term uses the
+        # same structural estimate (it never binds at large n anyway).
+        chain_us = max(1, batch // 1024) * depth * SERIAL_DEP_NS * 1e-3
+    elems = batch * (16 * m * n + 24 * n)
+    return _phase_model_us(
+        hist_bytes + vec_bytes, elems, peak_gbps, vpu_rate, chain_us
     )
-    light_us = bytes_total / (peak_gbps * 1e9) * 1e6 if peak_gbps else 0.0
-    serial_us = kernel_us + row["nfev_per_iter"] * eval_us
-    return max(light_us, serial_us), light_us, serial_us
 
 
-def analyze_shape(row, peak_gbps, kernel_us=None, eval_us=None):
+def linesearch_model_us(batch, n, peak_gbps, kind, itemsize=4):
+    """Per-trip lower bound for the post-evaluation More-Thuente kernel:
+    vector traffic (x0, d, g_t in; x_trial, g_acc out ~ 6 Bn) + ~40 scalar
+    rows, and ~8 Bn element-ops."""
+    vpu_rate = VPU_ELEM_RATE.get(kind, 8 * 128 * 4 * 1e9)
+    bytes_ = (6 * n + 40) * batch * itemsize
+    elems = 8 * n * batch
+    return _phase_model_us(bytes_, elems, peak_gbps, vpu_rate)
+
+
+def epilogue_model_us(batch, n, peak_gbps, kind, itemsize=4):
+    """Lower bound for the accept/progress epilogue: state vectors in/out
+    (~8 Bn) + ~30 scalar columns, ~12 Bn element-ops."""
+    vpu_rate = VPU_ELEM_RATE.get(kind, 8 * 128 * 4 * 1e9)
+    bytes_ = (8 * n + 30) * batch * itemsize
+    elems = 12 * n * batch
+    return _phase_model_us(bytes_, elems, peak_gbps, vpu_rate)
+
+
+_TRIP_US_CACHE = {}
+
+
+def measure_loop_trip_overhead_us(reps_lo=100, reps_hi=900):
+    """One-time, kernel-independent calibration of the MINIMAL cost of one
+    evaluation trip of a compiled search loop: a ``lax.while_loop`` whose
+    body is a trivial vmapped objective evaluation followed by a trivial
+    Pallas kernel and an any-lane predicate — the irreducible structure of
+    every line-search-driven solve (eval -> bookkeeping kernel -> continue?)
+    regardless of what the kernels compute.  A runtime/scheduling property
+    of the device, not of any solver kernel, so it belongs in the
+    attainable bound without re-introducing circularity."""
+    if "v" in _TRIP_US_CACHE:
+        return _TRIP_US_CACHE["v"]
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # The skeleton mirrors the STRUCTURE of one flat-solve trip with
+    # trivial content: a ~10-operand/10-output Pallas kernel over small
+    # VMEM buffers, a layout-boundary transpose pair, a vmapped objective
+    # evaluation, and the loop predicate.  Any implementation that runs
+    # one bookkeeping kernel per objective evaluation pays this floor; it
+    # contains no solver math, so using it in the bound does not
+    # re-introduce circularity.
+    NBUF = 8
+
+    def tiny_kernel(*refs):
+        ins, outs = refs[:NBUF], refs[NBUF:]
+        for i, o in zip(ins, outs):
+            o[:] = i[:] * 0.999 + 1e-6
+
+    def tiny(*bufs):
+        spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            tiny_kernel,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct(b.shape, b.dtype) for b in bufs
+            ),
+            in_specs=[spec] * NBUF,
+            out_specs=(spec,) * NBUF,
+            input_output_aliases={i: i for i in range(NBUF)},
+        )(*bufs)
+
+    vobj = jax.vmap(jax.value_and_grad(lambda x: jnp.sum(x * x)))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(x, bufs, k):
+        def cond(c):
+            _, _, i = c
+            return jnp.any(i < k)
+
+        def body(c):
+            x_, bufs_, i = c
+            f, g = vobj(x_.T)  # transpose out to the eval layout...
+            bufs_ = tiny(*bufs_)
+            return x_ - 1e-9 * g.T, bufs_, i + 1  # ...and back
+
+        out, bufs_f, _ = lax.while_loop(
+            cond, body, (x, bufs, jnp.zeros((), jnp.int32))
+        )
+        # Consume every output so nothing is dead-code-eliminated.
+        return jnp.sum(out) + sum(jnp.sum(b) for b in bufs_f)
+
+    import shutil
+    import tempfile
+
+    x = jnp.ones((8, 128), jnp.float32)
+    bufs = tuple(jnp.ones((8, 128), jnp.float32) * i for i in range(NBUF))
+    float(np.asarray(run(x, bufs, reps_hi)))  # compile + load
+    # Trace-based: device-side duration of the whole loop / trips (wall
+    # contrasts through the remote tunnel scatter several-fold — see
+    # measure_shape).
+    cdir = tempfile.mkdtemp(prefix="cppns_trip_")
+    with jax.profiler.trace(cdir):
+        float(np.asarray(run(x, bufs, reps_hi)))
+    try:
+        from benchmarks.trace_table import load_device_events
+    except ImportError:
+        from trace_table import load_device_events
+
+    events = load_device_events(cdir)
+    dev_us = max(
+        (e.get("dur", 0) for e in events if e["name"].startswith("jit_")),
+        default=0,
+    )
+    shutil.rmtree(cdir, ignore_errors=True)
+    v = dev_us / reps_hi
+    _TRIP_US_CACHE["v"] = v
+    return v
+
+
+_LAUNCH_US_CACHE = {}
+
+
+def measure_launch_overhead_us(reps_lo=200, reps_hi=1800):
+    """One-time, kernel-independent calibration of the fixed cost of one
+    Pallas kernel invocation inside a compiled loop (launch + block DMA
+    warmup), via a scanned chain of MINIMAL kernels.  A runtime property
+    of the device/compiler, not of any solver kernel — using it in the
+    attainable bound does not re-introduce the round-3/4 circularity."""
+    if "v" in _LAUNCH_US_CACHE:
+        return _LAUNCH_US_CACHE["v"]
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def tiny_kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:] + 1.0
+
+    def tiny(x):
+        return pl.pallas_call(
+            tiny_kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(x, k):
+        return lax.scan(lambda c, _: (tiny(c), None), x, None, length=k)[0]
+
+    x = jnp.zeros((8, 128), jnp.float32)
+    out = {}
+    for k in (reps_lo, reps_hi):
+        np.asarray(chain(x, k))
+        t0 = time.perf_counter()
+        np.asarray(chain(x, k))
+        out[k] = time.perf_counter() - t0
+    v = max((out[reps_hi] - out[reps_lo]) / (reps_hi - reps_lo), 0.0) * 1e6
+    _LAUNCH_US_CACHE["v"] = v
+    return v
+
+
+def _vmem_resident(batch, n, m=M, itemsize=4, budget_bytes=96 << 20):
+    """Whether the whole flat-solve working set (history + vectors +
+    scalar packs) fits the chip's physical VMEM, in which case XLA keeps
+    the loop carry resident and the solve never touches HBM — measured
+    round 5 at (1024, 256): 42 MB of modeled per-trip 'HBM' traffic
+    sustained 1.27 TB/s on an 819 GB/s part, i.e. it wasn't HBM."""
+    n8 = _round_up(n, 8)
+    b_pad = _round_up(batch, 128)
+    ws = (4 * m * n8 + 14 * n8 + 80) * b_pad * itemsize
+    return ws <= budget_bytes
+
+
+def attainable_bound_us(row, peak_gbps, kind, eval_us, trip_us):
+    """The committed, falsifiable definition of "at roofline" for a shape
+    — round-5 form, HARDWARE-DERIVED (VERDICT round-4 item 2):
+
+        attainable = max( light_speed_bytes_time        [0 if VMEM-resident]
+                          kernel_model + nfev*(eval_floor + ls_model)
+                          + epilogue_model + nfev*trip_floor )
+
+    Every *_model term comes from chip parameters (HBM peak, VPU peak,
+    dependent-op latency) and structural op counts — NOT from the kernel's
+    own measured time — so the "% of attainable" column moves when a
+    kernel improves.  eval_floor is the measured objective cost (the one
+    floor no solver restructuring can beat); trip_floor is the measured
+    cost of ONE trip of a minimal eval -> trivial-kernel -> predicate
+    while loop (a runtime property: every line-search-driven solve runs
+    >= nfev such trips).  When the working set fits VMEM (the flat solve's
+    regime at small/mid n) the HBM bytes terms are dropped — dropping a
+    lower-bound term keeps the bound valid."""
+    batch, n, nfev = row["batch"], row["n"], row["nfev_per_iter"]
+    resident = _vmem_resident(batch, n)
+    if resident:
+        light_us = 0.0
+        k_us = kernel_model_us(batch, n, None, kind)
+        ls_us = linesearch_model_us(batch, n, None, kind)
+        ep_us = epilogue_model_us(batch, n, None, kind)
+    else:
+        bytes_total, _ = traffic_model_bytes(batch, n, nfev)
+        light_us = (
+            bytes_total / (peak_gbps * 1e9) * 1e6 if peak_gbps else 0.0
+        )
+        k_us = kernel_model_us(batch, n, peak_gbps, kind)
+        ls_us = linesearch_model_us(batch, n, peak_gbps, kind)
+        ep_us = epilogue_model_us(batch, n, peak_gbps, kind)
+    serial_us = (
+        k_us + nfev * (eval_us + ls_us + trip_us) + ep_us
+    )
+    parts = {
+        "kernel_model_us": k_us,
+        "linesearch_model_us_per_trip": ls_us,
+        "epilogue_model_us": ep_us,
+        "loop_trip_floor_us": trip_us,
+        "vmem_resident": resident,
+    }
+    return max(light_us, serial_us), light_us, serial_us, parts
+
+
+def analyze_shape(row, peak_gbps, kind=None, eval_us=None):
     """Annotate a measured row with the traffic model, utilization, the
-    attainable bound, and ONE bottleneck label derived from the bound's
-    binding term — bench.py calls this same function, so BENCH and
-    ROOFLINE.md cannot disagree on labels (VERDICT round-3 item 4)."""
+    hardware-derived attainable bound, and ONE bottleneck label derived
+    from the bound's binding term — bench.py calls this same function, so
+    BENCH and ROOFLINE.md cannot disagree on labels."""
     bytes_total, parts = traffic_model_bytes(
         row["batch"], row["n"], row["nfev_per_iter"]
     )
@@ -333,43 +715,38 @@ def analyze_shape(row, peak_gbps, kernel_us=None, eval_us=None):
     row["achieved_gbps"] = achieved / 1e9
     if not peak_gbps:
         return row
+    if kind is None:
+        kind = jax.devices()[0].device_kind
     light = bytes_total / (peak_gbps * 1e9)
     row["hbm_utilization_pct"] = 100.0 * light / t
-    if kernel_us is None:
-        kernel_us = row.get("kernel_us")
-    if kernel_us is None:
-        # Advisor round-4: this fallback runs a 220-solve scanned device
-        # measurement — make it loud so callers know where minutes went.
-        print(
-            f"[roofline] measuring standalone kernel floor at "
-            f"(B={row['batch']}, n={row['n']})...",
-            file=sys.stderr, flush=True,
-        )
-        kernel_us = measure_kernel_standalone(row["batch"], row["n"]) * 1e6
     if eval_us is None:
         eval_us = row.get("eval_us")
     if eval_us is None:
+        # Advisor round-4: this fallback runs a long scanned device
+        # measurement — make it loud so callers know where minutes went.
         print(
             f"[roofline] measuring standalone eval floor at "
             f"(B={row['batch']}, n={row['n']})...",
             file=sys.stderr, flush=True,
         )
         eval_us = measure_eval_standalone(row["batch"], row["n"]) * 1e6
-    row["kernel_us"] = kernel_us
     row["eval_us"] = eval_us
-    row["kernel_pct_of_step"] = 100.0 * kernel_us / row["per_batched_iter_us"]
-    attainable, light_us, serial_us = attainable_bound_us(
-        row, peak_gbps, kernel_us, eval_us
+    trip_us = measure_loop_trip_overhead_us()
+    attainable, light_us, serial_us, model_parts = attainable_bound_us(
+        row, peak_gbps, kind, eval_us, trip_us
     )
+    row.update(model_parts)
     row["attainable_us"] = attainable
     row["pct_of_attainable"] = 100.0 * attainable / row["per_batched_iter_us"]
     # The label names the BINDING term of the attainable bound.
     if light_us >= serial_us:
         row["bottleneck"] = "HBM bandwidth"
-    elif kernel_us >= row["nfev_per_iter"] * eval_us:
-        row["bottleneck"] = "fused kernel (VPU/DMA issue rate)"
+    elif row["kernel_model_us"] >= row["nfev_per_iter"] * (
+        eval_us + row["linesearch_model_us_per_trip"] + trip_us
+    ):
+        row["bottleneck"] = "direction-step kernel"
     else:
-        row["bottleneck"] = "objective evaluation floor"
+        row["bottleneck"] = "line-search trips (eval + loop floor)"
     return row
 
 
@@ -461,30 +838,36 @@ def write_markdown(rows, peak_gbps, kind, path, sharded=None, op_tables=None):
         f"{peak_gbps or 'n/a'} GB/s.",
         "",
         "Workload: extended Rosenbrock, float32, m=10 More-Thuente L-BFGS,",
-        "fixed iteration budget (convergence tests off), 16 pipelined",
-        "dispatches, per-iteration time from iteration-count contrast",
-        "(methodology + traffic model in benchmarks/roofline.py).",
+        "fixed iteration budget inside the descent phase (convergence",
+        "tests off); per-iteration time = profiler-captured device-side",
+        "program duration / batched iterations (wall contrasts through",
+        "the remote tunnel scatter several-fold at the flat solve's",
+        "speed; methodology + models in benchmarks/roofline.py).",
         "",
-        "| B | n | us/iter (batched) | lane-iters/s | model MB/iter | "
-        "achieved GB/s | HBM util % | kernel us (GB/s, % of step) | "
-        "eval us | attainable us | % of attainable | bottleneck |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "| B | n | regime | us/iter (batched) | lane-iters/s | "
+        "model MB/iter | achieved GB/s | HBM util % | "
+        "kernel meas us (GB/s, % of step) | kernel MODEL us | eval us | "
+        "attainable us | % of attainable | bottleneck |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         kern = (
             f"{r['kernel_us']:.0f} ({r['kernel_gbps']:.0f}, "
             f"{r['kernel_pct_of_step']:.0f}%)"
-            if "kernel_gbps" in r
-            else "n/a"
+            if "kernel_gbps" in r and r["kernel_us"] > 0
+            else "n/a"  # wall-contrast diagnostic lost in tunnel jitter
         )
+        regime = "VMEM" if r.get("vmem_resident") else "HBM"
         lines.append(
-            f"| {r['batch']} | {r['n']} | {r['per_batched_iter_us']:.1f} | "
+            f"| {r['batch']} | {r['n']} | {regime} | "
+            f"{r['per_batched_iter_us']:.1f} | "
             f"{r['lane_iters_per_s']:.3g} | "
             f"{r['model_bytes_per_iter'] / 1e6:.2f} | "
             f"{r.get('achieved_gbps', float('nan')):.1f} | "
             f"{r.get('hbm_utilization_pct', float('nan')):.1f} | "
             f"{kern} | "
-            f"{r.get('eval_us', float('nan')):.0f} | "
+            f"{r.get('kernel_model_us', float('nan')):.1f} | "
+            f"{r.get('eval_us', float('nan')):.1f} | "
             f"{r.get('attainable_us', float('nan')):.0f} | "
             f"{r.get('pct_of_attainable', float('nan')):.0f}% | "
             f"{r.get('bottleneck', 'n/a')} |"
@@ -504,17 +887,30 @@ def write_markdown(rows, peak_gbps, kind, path, sharded=None, op_tables=None):
     lines += [
         "",
         "**Attainable bound (the committed definition of \"at roofline\")**: "
-        "per shape, `attainable = max(light-speed bytes time, measured "
-        "standalone kernel floor + nfev/iter x measured objective-eval "
-        "floor)`; the *% of attainable* column is the north-star check — "
-        "a number, not a debate (benchmarks/roofline.py "
-        "attainable_bound_us).  The bottleneck label names the bound's "
-        "binding term.",
+        "per shape, `attainable = max(light-speed bytes time [dropped when "
+        "the working set is VMEM-resident], kernel_model + nfev x (eval "
+        "floor + linesearch_model + loop-trip floor) + epilogue_model)` — "
+        "round-5 form, HARDWARE-DERIVED: every model term comes from chip "
+        "parameters (peak HBM bandwidth, peak VPU element rate, "
+        "dependent-op latency) and structural op counts, never from the "
+        "kernel's own measured time, so the *% of attainable* column moves "
+        "when a kernel improves (the rounds-3/4 bound could not indict its "
+        "own kernel).  The measured standalone kernel column is a "
+        "DIAGNOSTIC of the nested-path prologue; the objective-eval floor "
+        "is measured (the one cost no solver restructuring can beat); the "
+        "loop-trip floor is a kernel-independent runtime calibration "
+        "(benchmarks/roofline.py attainable_bound_us / kernel_model_us).  "
+        "The bottleneck label names the bound's binding term.",
         "",
-        "Traffic model per lane-iteration (floats): history 4mn (fused "
-        "push+two-loop kernel reads S,Y once and writes them once — "
-        "ops/two_loop.py), kernel vector i/o 4n, line search ~5n per "
-        "objective evaluation, driver/progress ~12n.",
+        "VMEM-resident rows (flat trip-granular solve, ops/flat_solve.py): "
+        "the whole batched carry lives in the chip's 128 MB VMEM across "
+        "the solve, so HBM bytes terms are dropped from the bound "
+        "(dropping a lower-bound term keeps it valid) and per-iteration "
+        "times beat the HBM roofline outright.  HBM-streaming rows use "
+        "the traffic model per lane-iteration (floats): history 4mn, "
+        "kernel vector i/o ~5n, layout-boundary transposes ~10n "
+        "(transposed path only), line search ~5n per objective "
+        "evaluation, driver/progress ~12n.",
         "",
     ]
     def shapes_of(key):
@@ -522,8 +918,8 @@ def write_markdown(rows, peak_gbps, kind, path, sharded=None, op_tables=None):
         return sel, ", ".join(f"({r['batch']},{r['n']})" for r in sel)
 
     bw, bw_s = shapes_of("HBM")
-    kern, kern_s = shapes_of("fused kernel")
-    ev, ev_s = shapes_of("objective")
+    kern, kern_s = shapes_of("direction-step")
+    ev, ev_s = shapes_of("line-search")
     if bw:
         best = max(r["hbm_utilization_pct"] for r in bw)
         lines.append(
@@ -533,16 +929,15 @@ def write_markdown(rows, peak_gbps, kind, path, sharded=None, op_tables=None):
         )
     if kern:
         lines.append(
-            f"Kernel-bound shapes ({kern_s}): the fused push+two-loop "
-            "kernel dominates the attainable bound but runs below the HBM "
-            "roofline — its sequential reduction chain binds on VPU/DMA "
-            "issue rate rather than bandwidth at this shape."
+            f"Direction-step-bound shapes ({kern_s}): the modeled "
+            "prologue kernel (history traffic + two-loop chain) dominates "
+            "the attainable bound."
         )
     if ev:
         lines.append(
-            f"Evaluation-bound shapes ({ev_s}): the objective's own "
-            "batched value_and_grad passes dominate the attainable bound — "
-            "the step is within overhead of the floor no line-search "
+            f"Line-search-bound shapes ({ev_s}): the per-trip objective "
+            "evaluation + MT kernel floor dominates the attainable bound — "
+            "the step is within overhead of the floor no direction-step "
             "restructuring can beat."
         )
     if op_tables:
@@ -583,15 +978,16 @@ def main():
             )
             os.makedirs(profile_dir, exist_ok=True)
         row = measure_shape(batch, n, profile_dir=profile_dir)
+        # Measured active-path kernel floor: DIAGNOSTIC column only (the
+        # attainable bound is hardware-derived; see kernel_model_us).
         kernel_s = measure_kernel_standalone(batch, n)
         row["kernel_us"] = kernel_s * 1e6
         row["kernel_pct_of_step"] = (
             100.0 * kernel_s / (row["per_batched_iter_us"] * 1e-6)
         )
-        # Kernel-only achieved bandwidth (history + its vector i/o).
-        kernel_bytes = batch * 4 * (4 * M * n + 4 * n)
+        kernel_bytes = batch * 4 * (4 * M * n + 5 * n)
         row["kernel_gbps"] = kernel_bytes / kernel_s / 1e9
-        rows.append(analyze_shape(row, peak))
+        rows.append(analyze_shape(row, peak, kind))
         print(json.dumps(rows[-1]), file=sys.stderr, flush=True)
 
     cost = xla_cost_analysis(1024, 256)

@@ -19,14 +19,20 @@ returns the accepted evaluation's own ``(f, g)`` workspace — the reference's
 state threading (hager_zhang.h:444-455) — with no extra evaluation; nfev
 matches the C++ exactly (the round-2/3 +1-eval deviation is removed).
 
-Batched-cost note: because ``_Trip`` carries the (n,) gradient and the
-bracket/shrink loops hold ~5 trips in their carry, a *vmapped* HZ search
-pays the while-batching broadcast-select over O(5*B*n) state per trip — the
-cost the batch-native More-Thuente loop removes.  The batched solve path
-therefore routes HZ through the batch-native loop in
-ops/fused_linesearch_hz.py (one while_loop at batch level, masked lanes);
-this module remains the single-instance oracle it is parity-tested against.
-"""
+Batched-cost note (the documented fused-path boundary): because ``_Trip``
+carries the (n,) gradient and the bracket/shrink loops hold ~5 trips in
+their carry, a *vmapped* HZ search pays the while-batching broadcast-select
+over O(5*B*n) state per trip.  Unlike More-Thuente — whose loop body is
+exactly one evaluation plus pure bookkeeping, and therefore fuses into the
+batch-level eval->kernel loop of ops/fused_linesearch.py — HZ's trip body
+contains NESTED data-dependent evaluation loops (U3/B2 bisection, the
+non-finite backoff inside B3), so an eval-at-top batch-level restructure
+would need an explicit continuation state machine.  That cost is not paid:
+More-Thuente is the default search everywhere (as in the reference,
+lbfgs.h:40-41), HZ is provided for algorithmic parity
+(hager_zhang.h:282-547), and the measured batched-throughput gap between
+``Lbfgs(line_search="hager_zhang")`` and the fused MT path is recorded in
+BENCH_r05's solver legs — see README's performance notes."""
 
 from __future__ import annotations
 

@@ -117,3 +117,59 @@ def test_shape_validation(model_mesh):
             obj, jnp.zeros((N,)), Lbfgs(), mesh=model_mesh,
             batch_axis="batch",
         )
+
+
+def test_model_axis_collective_signature(model_mesh):
+    """Structural pin on the model-axis collective pattern (VERDICT round-4
+    item 9, mirror of tests/test_scaling_efficiency.py's batch-axis check):
+    the compiled model-sharded L-BFGS solve must contain ONLY scalar
+    all-reduce collectives — the psum-reduced partial dot products of the
+    two-loop recursion, line search, and stopping machine — and never an
+    all-gather / reduce-scatter / collective-permute / all-to-all, which
+    would mean GSPMD decided to materialise a full (m, n) history or n-long
+    vector on every chip instead of keeping it sharded."""
+    import re
+
+    from jax.sharding import NamedSharding
+
+    from cppnumericalsolvers_tpu.core.driver import _solve_loop
+    from cppnumericalsolvers_tpu.core.progress import default_stopping
+    from cppnumericalsolvers_tpu.parallel.model_sharded import (
+        _force_xla_two_loop,
+    )
+
+    obj = objective(quadratic, mode="first")
+    solver = _force_xla_two_loop(Lbfgs(m=5))
+    stopping = default_stopping(jnp.float64)
+    x0 = jnp.zeros((N,), jnp.float64)
+
+    def solve(x0_, stopping_):
+        state0 = obj.evaluate(x0_, nfev=0)
+        internals0 = solver.init(obj, state0)
+        return _solve_loop(obj, solver, state0, internals0, stopping_, 0)
+
+    fn = jax.jit(
+        solve, in_shardings=(NamedSharding(model_mesh, P("model")), None)
+    )
+    hlo = "\n".join(
+        m.to_string()
+        for m in fn.lower(x0, stopping).compile()
+        .runtime_executable().hlo_modules()
+    )
+
+    # No buffer-shaped collectives anywhere (definitions or references).
+    bad = re.findall(
+        r"all-gather|reduce-scatter|collective-permute|all-to-all", hlo
+    )
+    assert not bad, f"unexpected buffer collectives: {set(bad)}"
+
+    # Every all-reduce *instruction* is a scalar reduction; XLA keeps the
+    # per-trip psums inside the rolled loops, so only a handful of scalar
+    # all-reduce definitions exist regardless of m or n.
+    defs = re.findall(r"=\s*(\S+)\s+all-reduce", hlo)
+    assert defs, "expected psum all-reduces on the model axis"
+    for shape in defs:
+        assert re.fullmatch(r"f64\[(|1|2)\]", shape), (
+            f"non-scalar all-reduce operand {shape}: a sharded buffer is "
+            "being reduced instead of a partial dot product"
+        )
