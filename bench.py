@@ -350,15 +350,14 @@ def run_reliability():
 def run_throughput(batch: int = 1024, dim: int = 32):
     """Batched L-BFGS lane-iterations/s/chip on extended Rosenbrock (f32).
 
-    Measured with benchmarks/roofline.py's scan-of-solves iteration-count
-    contrast: many solves run sequentially inside ONE dispatch and two runs
-    differing only in iteration budget are diffed, so the figure is the
-    sustained DEVICE step rate — per-dispatch host/tunnel latency (which
-    can exceed device time at small shapes and silently dominate a
-    pipelined wall-clock measurement) cancels out."""
+    Measured with benchmarks/roofline.py's profiler-derived device time:
+    the device-side duration of the whole pipelined program divided by its
+    batched iteration count — per-dispatch host/tunnel latency (which
+    exceeds device time at the flat solve's speed and made wall-clock
+    contrasts scatter several-fold) never enters the figure."""
     from benchmarks.roofline import measure_shape
 
-    row = measure_shape(batch, dim, pipeline=16)
+    row = measure_shape(batch, dim, pipeline=8)
     return {
         "batched_iters_per_s": row["lane_iters_per_s"],
         "throughput_nfev_per_iter": row["nfev_per_iter"],
@@ -406,7 +405,11 @@ def run_perf_grid():
                 "kernel_model_us": round(
                     row.get("kernel_model_us", 0.0), 1
                 ),
-                "eval_us": round(row.get("eval_us", 0.0), 1),
+                "eval_us": round(row.get("eval_us", 0.0), 2),
+                # VMEM-resident rows: the whole solve carry lives in VMEM,
+                # so "HBM utilization" is vs modeled traffic that never
+                # actually touches HBM (can exceed 100%).
+                "vmem_resident": bool(row.get("vmem_resident", False)),
                 "bottleneck": row.get("bottleneck", "n/a"),
             }
         )
@@ -531,6 +534,13 @@ def main():
         "distinct_problems": rel["distinct_problems"],
         "mean_nfev_single_solve": round(rel["mean_nfev_single_solve"], 1),
         "mean_nfev_with_restarts": round(rel["mean_nfev_with_restarts"], 1),
+        # Precision-strategy split (f32 first pass + f64 fallback).
+        "precision": rel["precision"],
+        "converged_pct_f32_only": round(rel["converged_pct_f32_only"], 2),
+        "instances_resolved_in_f64": rel["instances_resolved_in_f64"],
+        "instances_attempted_in_f64": rel["instances_attempted_in_f64"],
+        "reliability_f32_pass_s": round(rel["reliability_f32_pass_s"], 2),
+        "reliability_f64_pass_s": round(rel["reliability_f64_pass_s"], 2),
         # Stopping-preset deviation disclosure (see reliability_stopping).
         "stopping_preset": "conservative+x_delta_violations=2",
         "reliability_wall_s": round(rel["reliability_wall_s"], 2),

@@ -43,18 +43,18 @@ from cppnumericalsolvers_tpu import minimize_batched  # noqa: E402
 
 
 def run_ours(batches, solver, stopping):
-    """One attempt per instance, using bench.py's own success/fetch logic."""
-    oks, nfevs = [], []
+    """One attempt per instance, using bench.py's own success/fetch logic
+    (fetch_all: one device_get for the whole list)."""
     pending = [
         (problem, minimize_batched(
             problem.objective, jnp.asarray(starts), solver, stopping))
         for problem, starts in batches
     ]
-    for problem, result in pending:
-        ok, nfev, _ = bench.fetch_metrics(problem, result)
-        oks.append(ok)
-        nfevs.append(nfev)
-    return np.concatenate(oks), np.concatenate(nfevs)
+    records = bench.fetch_all(pending)
+    return (
+        np.concatenate([r["ok"] for r in records]),
+        np.concatenate([r["nfev"] for r in records]),
+    )
 
 
 def run_scipy(batches):

@@ -398,13 +398,15 @@ def measure_kernel_standalone(batch, n, m=M, k_lo=20, k_hi=220):
     return (out[k_hi] - out[k_lo]) / (k_hi - k_lo)
 
 
-def measure_eval_standalone(batch, n, k_lo=200, k_hi=1800, reps=3):
-    """Device time of ONE batched objective value_and_grad at this shape,
-    via a scanned k-call chain contrast — the evaluation floor no line
-    search can beat.  Small shapes evaluate in ~1-2 us, far below the
-    remote-tunnel dispatch jitter, so the chain is long, each budget takes
-    the best of ``reps`` timings, and the contrast clamps at 0 (a negative
-    contrast is pure noise)."""
+def measure_eval_standalone(batch, n, k=1200):
+    """Device time of ONE batched objective value_and_grad at this shape —
+    the evaluation floor no line search can beat.  Trace-based: the
+    profiler's device-side duration of a k-call serial chain / k (wall
+    contrasts through the remote tunnel scattered 0.4-5 us for the same
+    shape across runs)."""
+    import shutil
+    import tempfile
+
     from jax import lax
 
     vag = jax.vmap(jax.value_and_grad(ext_rosenbrock))
@@ -420,16 +422,22 @@ def measure_eval_standalone(batch, n, k_lo=200, k_hi=1800, reps=3):
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-2, 2, (batch, n)).astype(np.float32))
-    out = {}
-    for k in (k_lo, k_hi):
-        float(np.asarray(chain(x, k)))  # warm/compile
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(chain(x, k)))
-            best = min(best, time.perf_counter() - t0)
-        out[k] = best
-    return max((out[k_hi] - out[k_lo]) / (k_hi - k_lo), 0.0)
+    float(np.asarray(chain(x, k)))  # warm/compile + load
+    cdir = tempfile.mkdtemp(prefix="cppns_eval_")
+    with jax.profiler.trace(cdir):
+        float(np.asarray(chain(x, k)))
+    try:
+        from benchmarks.trace_table import load_device_events
+    except ImportError:
+        from trace_table import load_device_events
+
+    events = load_device_events(cdir)
+    dev_us = max(
+        (e.get("dur", 0) for e in events if e["name"].startswith("jit_")),
+        default=0,
+    )
+    shutil.rmtree(cdir, ignore_errors=True)
+    return dev_us * 1e-6 / k
 
 
 def _round_up(x, mult):

@@ -71,8 +71,17 @@ def test_prologue_t_real_lowering_matches_oracle(b, m, n):
 
 @requires_tpu
 def test_native_batched_solve_matches_generic_on_tpu():
-    """End-to-end: the batched-native transposed driver path (default
-    Lbfgs) vs the forced pure-XLA lowering, full trajectory parity."""
+    """End-to-end: the batched-native driver path (default Lbfgs) vs the
+    forced pure-XLA lowering.  At n=32 the native path is the FLAT
+    trip-granular solve whose Mosaic kernel reorders f32 reductions at the
+    last ulp, so full solves assert the drift-tolerant contract (statuses
+    exact, aggregate counts tight, same convergence quality); the
+    short-budget exactness pin lives in test_flat_solve_tpu.py.  At n=400
+    (> _FLAT_N_MAX) the nested transposed path runs under the same
+    contract — its sublane-axis reductions reorder f32 sums vs the XLA
+    lowering, which compounds over 100+ chaotic Rosenbrock iterations
+    (kernel-level exactness is pinned by
+    test_prologue_t_real_lowering_matches_oracle above)."""
     from cppnumericalsolvers_tpu import minimize_batched, objective
     from cppnumericalsolvers_tpu.solvers import Lbfgs
     from cppnumericalsolvers_tpu.solvers.lbfgs import LbfgsInternalsT
@@ -83,6 +92,8 @@ def test_native_batched_solve_matches_generic_on_tpu():
 
     obj = objective(rosen, mode="first")
     rng = np.random.default_rng(0)
+
+    # Flat path (n <= _FLAT_N_MAX).
     x0 = jnp.asarray(rng.uniform(-2, 2, (256, 32)).astype(np.float32))
     rn = minimize_batched(obj, x0, Lbfgs())
     rx = minimize_batched(obj, x0, Lbfgs(two_loop_impl="xla"))
@@ -90,9 +101,25 @@ def test_native_batched_solve_matches_generic_on_tpu():
     np.testing.assert_array_equal(
         np.asarray(rn.progress.status), np.asarray(rx.progress.status)
     )
+    nn = np.asarray(rn.state.nfev, np.float64)
+    nx = np.asarray(rx.state.nfev, np.float64)
+    assert abs(nn.mean() - nx.mean()) < 0.05 * nx.mean()
+    fn = np.asarray(rn.state.value)
+    fx = np.asarray(rx.state.value)
+    assert abs((fn < 1e-4).mean() - (fx < 1e-4).mean()) < 0.06
+
+    # Nested transposed path (n > _FLAT_N_MAX): same drift-tolerant
+    # contract.
+    x0 = jnp.asarray(rng.uniform(-2, 2, (256, 400)).astype(np.float32))
+    rn = minimize_batched(obj, x0, Lbfgs())
+    rx = minimize_batched(obj, x0, Lbfgs(two_loop_impl="xla"))
+    assert isinstance(rn.internals, LbfgsInternalsT)
     np.testing.assert_array_equal(
-        np.asarray(rn.state.nfev), np.asarray(rx.state.nfev)
+        np.asarray(rn.progress.status), np.asarray(rx.progress.status)
     )
-    np.testing.assert_allclose(
-        np.asarray(rn.state.x), np.asarray(rx.state.x), rtol=1e-4, atol=1e-4
-    )
+    nn = np.asarray(rn.state.nfev, np.float64)
+    nx = np.asarray(rx.state.nfev, np.float64)
+    assert abs(nn.mean() - nx.mean()) < 0.05 * nx.mean()
+    fn = np.asarray(rn.state.value)
+    fx = np.asarray(rx.state.value)
+    assert abs((fn < 1e-3).mean() - (fx < 1e-3).mean()) < 0.06
