@@ -426,23 +426,28 @@ def run_solver_legs():
     from cppnumericalsolvers_tpu.solvers import Bfgs, Lbfgsb, NewtonDescent
 
     legs = []
+    # Iteration budgets stay inside each solver's DESCENT phase (see
+    # measure_shape's docstring): L-BFGS-B and Newton converge on this
+    # problem in ~10-20 iterations, so longer budgets would measure the
+    # degenerate stalled regime no converging solve runs in.
     # Bounds [-2, 0.9] pin every odd (optimum=1) Rosenbrock coordinate at
     # its upper bound, so the Cauchy walk crosses real breakpoints.
     for b, n in ((1024, 32), (256, 256)):
         row = measure_solver_shape(
-            b, n, Lbfgsb(m=5, lower=-2.0, upper=0.9)
+            b, n, Lbfgsb(m=5, lower=-2.0, upper=0.9),
+            iters_lo=3, iters_hi=12,
         )
         legs.append({"solver": "lbfgsb", **{
             k: round(v, 1) for k, v in row.items()
         }})
     for b, n in ((1024, 32), (256, 256)):
-        row = measure_solver_shape(b, n, Bfgs())
+        row = measure_solver_shape(b, n, Bfgs(), iters_lo=10, iters_hi=40)
         legs.append({"solver": "bfgs", **{
             k: round(v, 1) for k, v in row.items()
         }})
     for b, n in ((1024, 32), (256, 64)):
         row = measure_solver_shape(
-            b, n, NewtonDescent(), mode="second", iters_lo=5, iters_hi=30
+            b, n, NewtonDescent(), mode="second", iters_lo=2, iters_hi=9
         )
         legs.append({"solver": "newton", **{
             k: round(v, 1) for k, v in row.items()

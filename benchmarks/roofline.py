@@ -284,36 +284,49 @@ def _scanned_solver_solves(obj, x0s, solver, stopping, internals=None):
 
 def measure_solver_shape(
     batch, n, solver, mode="first", internals=None, pipeline=8,
-    iters_lo=10, iters_hi=60,
+    iters_lo=None, iters_hi=12,
 ):
-    """Per-batched-iteration device time for an arbitrary solver on
-    extended Rosenbrock, via the same scanned iteration-count contrast as
-    :func:`measure_shape` (per-dispatch tunnel latency cancels).  Used by
-    bench.py's solver legs (L-BFGS-B / BFGS / Newton — VERDICT round-4
-    items 3 and 8)."""
+    """Per-batched-iteration DEVICE time for an arbitrary solver on
+    extended Rosenbrock — same trace-based methodology as
+    :func:`measure_shape` (wall contrasts through the remote tunnel went
+    negative for the faster solvers).  ``iters_hi`` must stay inside the
+    solver's descent phase.  Used by bench.py's solver legs (L-BFGS-B /
+    BFGS / Newton / HZ — VERDICT round-4 items 3, 6 and 8)."""
+    import shutil
+    import tempfile
+
+    del iters_lo  # kept for call compatibility; trace method needs one run
     obj = objective(ext_rosenbrock, mode=mode)
     rng = np.random.default_rng(0)
     x0s = jnp.stack([
         jnp.asarray(rng.uniform(-2.0, 2.0, (batch, n)).astype(np.float32))
         for _ in range(pipeline)
     ])
-    out = {}
-    for iters in (iters_lo, iters_hi):
-        stopping = fixed_iteration_stopping(iters)
-        _scanned_solver_solves(obj, x0s, solver, stopping, internals)
-        t0 = time.perf_counter()
+    stopping = fixed_iteration_stopping(iters_hi)
+    _scanned_solver_solves(obj, x0s, solver, stopping, internals)
+    cdir = tempfile.mkdtemp(prefix="cppns_leg_")
+    with jax.profiler.trace(cdir):
         got = _scanned_solver_solves(obj, x0s, solver, stopping, internals)
         total_iters = float(np.asarray(got[0]))
         total_nfev = float(np.asarray(got[1]))
-        out[iters] = (time.perf_counter() - t0, total_iters, total_nfev)
-    (w1, i1, f1), (w2, i2, f2) = out[iters_lo], out[iters_hi]
-    per_iter_s = (w2 - w1) * batch / max(i2 - i1, 1.0)
+    try:
+        from benchmarks.trace_table import load_device_events
+    except ImportError:
+        from trace_table import load_device_events
+
+    events = load_device_events(cdir)
+    dev_us = max(
+        (e.get("dur", 0) for e in events if e["name"].startswith("jit_")),
+        default=0,
+    )
+    shutil.rmtree(cdir, ignore_errors=True)
+    per_iter_s = dev_us * 1e-6 / max(total_iters / batch, 1.0)
     return {
         "batch": batch,
         "n": n,
         "per_batched_iter_us": per_iter_s * 1e6,
         "lane_iters_per_s": batch / per_iter_s,
-        "nfev_per_iter": (f2 - f1) / max(i2 - i1, 1.0),
+        "nfev_per_iter": total_nfev / max(total_iters, 1.0),
     }
 
 
