@@ -154,10 +154,14 @@ class Lbfgs(SolverBase):
     #: evaluation.  Profiling at (1024, 32) showed the nested loop spending
     #: ~45% of its budget on structural overhead (inner-loop carry copies,
     #: double predicates, glue-op scheduling gaps); the flat loop removes
-    #: it.  Because the boundary (push + two-loop) work runs masked on
-    #: every trip, the trade only pays where fixed costs dominate — above
-    #: this n the iteration-granular nested path wins.
-    _FLAT_N_MAX = 256
+    #: it.  The boundary (push + two-loop) work runs masked on every trip
+    #: (~1.1-1.2x the per-iteration history traffic), yet the structural
+    #: savings win well past the VMEM-resident regime — v5e per batched
+    #: iteration, flat vs nested transposed: (1024, 512) 107.8 vs 250.8 us,
+    #: (1024, 1024) 358.2 vs 467.7 us; at (256, 4096) the two tie
+    #: (587 us, HBM-bandwidth-bound), so the largest shapes keep the
+    #: iteration-granular nested path.
+    _FLAT_N_MAX = 1024
 
     def solve_batched_native(self, objective, state0, stopping):
         b, n = state0.x.shape
