@@ -127,10 +127,13 @@ class Lbfgs(SolverBase):
     #: on the batched TPU path.  v5e per-batched-iteration measurements
     #: (round 5, full solve): (1024, 32) 162.4 -> 94.8 us (1.71x),
     #: (1024, 256) 185.8 -> 124.1 us, (1024, 512) 334.8 -> 250.8 us,
-    #: (1024, 1024) 612.3 -> 478.0 us; at (256, 4096) the two layouts tie
-    #: (602 vs 600 us — both HBM-bandwidth-bound), so large n stays on the
-    #: proven batch-major flat kernel.  See ops/fused_step_t.py.
-    _TRANSPOSED_N_MAX = 1024
+    #: (1024, 1024) 612.3 -> 478.0 us, (512, 2048) 564.2 -> 453.1 us
+    #: (1.25x); at (256, 4096) the layouts tie (602 vs 600 us — both
+    #: HBM-bandwidth-bound), so the largest n stays on the batch-major
+    #: flat kernel.  Below _FLAT_N_MAX the flat trip-granular solve
+    #: supersedes this path; the iteration-granular transposed path owns
+    #: (_FLAT_N_MAX, _TRANSPOSED_N_MAX].  See ops/fused_step_t.py.
+    _TRANSPOSED_N_MAX = 2048
 
     def supports_batched_native(self, objective, x0_batch) -> bool:
         """The batched-native transposed path: TPU, f32, the fused-update

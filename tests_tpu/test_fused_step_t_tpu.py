@@ -76,9 +76,9 @@ def test_native_batched_solve_matches_generic_on_tpu():
     trip-granular solve whose Mosaic kernel reorders f32 reductions at the
     last ulp, so full solves assert the drift-tolerant contract (statuses
     exact, aggregate counts tight, same convergence quality); the
-    short-budget exactness pin lives in test_flat_solve_tpu.py.  At n=400
-    (> _FLAT_N_MAX) the nested transposed path runs under the same
-    contract — its sublane-axis reductions reorder f32 sums vs the XLA
+    short-budget exactness pin lives in test_flat_solve_tpu.py.  At n=1536
+    (in (_FLAT_N_MAX, _TRANSPOSED_N_MAX]) the nested transposed path runs
+    under the same contract — its sublane-axis reductions reorder f32 sums vs the XLA
     lowering, which compounds over 100+ chaotic Rosenbrock iterations
     (kernel-level exactness is pinned by
     test_prologue_t_real_lowering_matches_oracle above)."""
@@ -110,7 +110,7 @@ def test_native_batched_solve_matches_generic_on_tpu():
 
     # Nested transposed path (n > _FLAT_N_MAX): same drift-tolerant
     # contract.
-    x0 = jnp.asarray(rng.uniform(-2, 2, (256, 400)).astype(np.float32))
+    x0 = jnp.asarray(rng.uniform(-2, 2, (128, 1536)).astype(np.float32))
     rn = minimize_batched(obj, x0, Lbfgs())
     rx = minimize_batched(obj, x0, Lbfgs(two_loop_impl="xla"))
     assert isinstance(rn.internals, LbfgsInternalsT)
