@@ -722,12 +722,21 @@ def flat_lbfgs_solve(
         si_ = carry[8]
         return jnp.any(si_[_I_STATUS] == int(Status.CONTINUE))
 
+    aligned = b == b_pad and n == n8
+
     def body(carry):
         (x0_, g0_, sdir_, gacc_, s_, y_, ring_, sf_, si_, xtrial_) = carry
-        xt = xtrial_[:n, :b].T  # (B, n) for the objective
+        # Layout boundary per trip: only the transposes are real work when
+        # the shapes already align (reshape of (B,) -> (1, B) is free);
+        # ragged shapes pay the explicit zero-pads.
+        xt = (xtrial_ if aligned else xtrial_[:n, :b]).T  # (B, n)
         f_t, g_t = bvag(xt)
-        ft_row = jnp.zeros((1, b_pad), dtype).at[0, :b].set(f_t)
-        gt_t = jnp.zeros((n8, b_pad), dtype).at[:n, :b].set(g_t.T)
+        if aligned:
+            ft_row = f_t.reshape(1, b_pad)
+            gt_t = g_t.T
+        else:
+            ft_row = jnp.zeros((1, b_pad), dtype).at[0, :b].set(f_t)
+            gt_t = jnp.zeros((n8, b_pad), dtype).at[:n, :b].set(g_t.T)
         outs = step(
             x0_, g0_, sdir_, gacc_, s_, y_, ring_, sf_, si_, ft_row, gt_t,
             critf, criti,
